@@ -1,0 +1,104 @@
+"""Doppler search as MXU work — the performance core of the Rx chain.
+
+The reference implements the Doppler search as: build the 3-D
+``doppler x mask x Nfft`` product tensor, batch-IFFT it back to the lag
+domain, and reduce |.|^2 over the lag axis
+(``cuda_kernels.cu:339-373`` + cuFFT batch + ``:421-480``). For UHF
+defaults that is 512 IFFTs of 2^16 points and a 256 MB intermediate —
+per block.
+
+On TPU we use Parseval instead: the lag-domain energy of each (d, m)
+correlation equals ``N * sum_k |S[(k+s_d) mod N]|^2 * |M[m,k]|^2``, so
+the whole search collapses to
+
+    E = Pshift @ Q.T        # (D,N) x (N,M) on the MXU
+
+where ``P = |S|^2`` and ``Q = |M|^2`` is a precomputed constant. No 3-D
+tensor, no IFFTs, three orders of magnitude less FLOPs and HBM traffic.
+The estimator then mirrors ``findDopplerEst`` (cuda_kernels.cu:502-597):
+top-2 weighted-average bin with a 10log10 match-quality metric, either
+summed over all masks (FSK family) or averaged per mask.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ABS_SUM_SCALE = 262144.0  # 2^18, matches reference blockAbsSumAtomic scaling
+
+
+def make_shift_gather_indices(Nfft: int, shifts: np.ndarray) -> np.ndarray:
+    """(D, Nfft) int32 gather map: row d holds (k + s_d) mod N."""
+    return ((np.arange(Nfft, dtype=np.int64)[None, :] + np.asarray(shifts, np.int64)[:, None]) % Nfft).astype(np.int32)
+
+
+def doppler_energy_matmul(P: jnp.ndarray, Q_T: jnp.ndarray, shift_idx: jnp.ndarray) -> jnp.ndarray:
+    """E[d,m] = N/2^18 * sum_k P[(k+s_d)%N] Q[m,k] as one MXU matmul.
+
+    P: (N,) f32 signal power spectrum. Q_T: (N, M) f32 mask power bank
+    (transposed, constant). shift_idx: (D, N) int32 constant gather map.
+    """
+    N = P.shape[0]
+    Pshift = jnp.take(P, shift_idx, axis=0)  # (D, N)
+    E = jax.lax.dot_general(
+        Pshift,
+        Q_T,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return E * (N / ABS_SUM_SCALE)
+
+
+def doppler_energy_fft(P: jnp.ndarray, Qf_conj: jnp.ndarray, shifts: jnp.ndarray) -> jnp.ndarray:
+    """Alternative evaluation via circular correlation: for each mask m,
+    corr_m = ifft(fft(P) * conj(fft(Q_m))) gives the energy at *all* N
+    doppler lags; we gather the D grid points. Preferable when D is
+    large (full-bandwidth search) — O(M·N log N) instead of O(D·N·M).
+
+    Qf_conj: (M, N) complex64 constant = conj(fft(|masks_f|^2, axis=1)).
+    """
+    N = P.shape[0]
+    Pf = jnp.fft.fft(P)
+    corr = jnp.fft.ifft(Pf[None, :] * Qf_conj, axis=1).real  # (M, N)
+    E = corr[:, shifts].T  # (D, M)
+    return E * (N / ABS_SUM_SCALE)
+
+
+def _top2_last_axis(vals: jnp.ndarray):
+    v, i = jax.lax.top_k(vals, 2)
+    return v[..., 0], i[..., 0], v[..., 1], i[..., 1]
+
+
+@partial(jax.jit, static_argnames=("num_dopplers", "array_offset", "sum_all_masks"))
+def find_doppler_estimate(E, num_dopplers: int, array_offset: int, sum_all_masks: bool):
+    """Weighted top-2 Doppler estimate (cuda_kernels.cu:502-597 parity).
+
+    Returns (dopp_idx float incl. noise-bin offset, quality_db).
+    """
+    off = array_offset
+    if sum_all_masks:
+        tot = E.sum(axis=1)
+        v0, i0, v1, i1 = _top2_last_axis(tot[off : off + num_dopplers])
+        i0 = (i0 + off).astype(jnp.float32)
+        i1 = (i1 + off).astype(jnp.float32)
+        wsum = i0 * v0 + i1 * v1
+        dopp_idx = wsum / (v0 + v1)
+        if off > 0:
+            quality = jnp.maximum(v0, v1) / tot[0]
+        else:
+            quality = wsum / (i0 + i1)
+        return dopp_idx, 10.0 * jnp.log10(quality)
+
+    sub = E[off : off + num_dopplers, :].T  # (M, nd)
+    v0, i0, v1, i1 = _top2_last_axis(sub)
+    i0 = (i0 + off).astype(jnp.float32)
+    i1 = (i1 + off).astype(jnp.float32)
+    wsum = i0 * v0 + i1 * v1
+    idxs = wsum / (v0 + v1)
+    if off > 0:
+        quals = jnp.maximum(v0, v1) / E[0, :]
+    else:
+        quals = wsum / (i0 + i1)
+    return idxs.mean(), 10.0 * jnp.log10(quals.mean())
