@@ -1,0 +1,5 @@
+from pycusdr_tpu.models.demodulator import Demodulator
+from pycusdr_tpu.models import uhf as UHF
+from pycusdr_tpu.models import stx as STX
+
+__all__ = ["Demodulator", "UHF", "STX"]

@@ -1,0 +1,223 @@
+"""Host-side demodulator frontend: owns the jitted block graph, the
+overlap-save streaming state, and the cross-block bit alignment.
+
+Capability parity with the reference ``Demodulator`` class
+(``demodulator/demodulator_base.py``): same two-phase public API
+(``uploadAndFindCarrier`` then ``demodulate``), same overlap-window
+bit selection, and a port of the ±1-symbol block-boundary healing logic
+(``checkSymbolOverlap``, ``:863-988``). The GPU context/plan/buffer
+management collapses into JAX: the whole per-block chain is ONE jitted
+graph (see dsp/block.py) with device-resident constants.
+"""
+
+import logging
+
+import numpy as np
+
+from pycusdr_tpu.dsp.block import build_process_block
+from pycusdr_tpu.dsp.spec import DemodSpec, build_spec
+
+log = logging.getLogger("pycusdr_tpu." + __name__)
+
+# symbol-overlap healing defaults (reference demodulator_base.py:20-22)
+SYMBOL_CHECK_OVERLAP_OFFSET = 20
+SYMBOL_CHECK_ERROR_THRESHOLD = 1000
+SYMBOL_CHECK_MATCH_NUM_ERRORS_ALLOWED = 10
+
+
+class Demodulator:
+    """One Rx channel: streaming state + jitted block graph."""
+
+    def __init__(self, conf, protocol, radioName, spec: DemodSpec = None, jit: bool = True):
+        self.protocol = protocol
+        self.radioName = radioName
+        self.conf = conf
+        self.spec = spec if spec is not None else build_spec(conf, protocol, radioName)
+
+        confRadio = conf["Radios"]["Rx"][radioName]
+        confGPU = conf["GPU"][confRadio["CUDA_settings"]]
+        self.overlapOffset = confGPU.get("symbol_check_overlap_offset", SYMBOL_CHECK_OVERLAP_OFFSET)
+        self.symbol_check_error_threshold = confGPU.get(
+            "symbol_check_error_threshold", SYMBOL_CHECK_ERROR_THRESHOLD
+        )
+        self.symbol_check_match_threshold = self.overlapOffset - confGPU.get(
+            "symbol_check_match_num_errors_allowed", SYMBOL_CHECK_MATCH_NUM_ERRORS_ALLOWED
+        )
+
+        self.Nfft = self.spec.Nfft
+        self.sigOverlap = self.spec.sigOverlap
+        self.sigOverlapWin = self.spec.sigOverlap // 2
+        self.voteWeight = self.spec.voteWeight
+
+        self._process_block = build_process_block(self.spec, jit=jit)
+        self._signal_buffer = np.zeros(self.Nfft, dtype=np.complex64)
+        self._last = None  # device results of the current block
+
+        # healing state across blocks
+        self.poswinP = np.array([], dtype=np.int8)  # post-window bits of prev block
+        self.posSymEnd = np.array([], dtype=np.int8)
+
+        self.dopplerIdxlast = 0
+        self.clippedPeakIPure = np.array([], dtype=np.int64)
+
+        log.info(
+            "[%s]: TPU demodulator ready: Nfft=%d overlap=%d masks=%d dopplers=%d "
+            "sum_all_masks=%s doppler_search=%s",
+            radioName,
+            self.Nfft,
+            self.sigOverlap,
+            self.spec.num_masks,
+            self.spec.num_dopplers,
+            self.spec.sum_all_masks,
+            self.spec.doppler_search,
+        )
+
+    # ---------------- reference-parity public API ----------------
+
+    def get_signalBufferHostPointer(self):
+        """Host staging buffer for the overlap-save block (the reference
+        exposes pinned zero-copy memory; here it's the host array the
+        runtime fills before each process call)."""
+        return self._signal_buffer
+
+    def uploadAndFindCarrier(self, samples=None):
+        """Run the device graph; return (freqOffset_Hz, sdev_Hz, clippedPeaks, SNR)."""
+        if samples is None:
+            samples = self._signal_buffer
+        res = self._process_block(np.ascontiguousarray(samples, dtype=np.complex64))
+        # one bundled device->host transfer
+        self._last = {k: np.asarray(v) for k, v in res.items()}
+        r = self._last
+
+        if not self.spec.doppler_search:
+            self.clippedPeakIPure = np.array([], dtype=np.int64)
+            return 0.0, 0.0, self.clippedPeakIPure, 0.0
+
+        freqOffset = float(r["freq_offset_hz"])
+        # the reference's second slot carries the match quality scaled to Hz
+        sdev_hz = float(r["quality_db"]) / self.Nfft * self.spec.sampleRate
+        snr = float(r["snr_db"])
+        self.dopplerIdxlast = int(r["shift"])
+        return freqOffset, sdev_hz, self.clippedPeakIPure, snr
+
+    def demodulate(self):
+        """Return (dataBits, centres, trust, spSymEst) for the non-overlap window."""
+        r = self._last
+        if r is None:
+            raise RuntimeError("call uploadAndFindCarrier first")
+
+        nBits = int(r["nBits"])
+        bits = r["bits"][:nBits]
+        trust = r["trust"][:nBits]
+        centres = r["centres"][:nBits]
+        spSym = float(r["spSym"])
+
+        noError = int(np.sum(trust == -1))
+        centresWin, bitsWin, trustWin, _ = self.checkSymbolOverlap(
+            noError, centres, r["symbols"][:nBits], bits, trust
+        )
+        return bitsWin.astype(np.uint8), centresWin, trustWin.astype(np.int8), spSym
+
+    def process(self, samples=None):
+        """Single-call convenience API: both phases + the stats bundle."""
+        freqOffset, sdev, clipped, snr = self.uploadAndFindCarrier(samples)
+        bits, centres, trust, spSym = self.demodulate()
+        return {
+            "bits": bits,
+            "trust": trust,
+            "centres": centres,
+            "spSymEst": spSym,
+            "doppler": freqOffset,
+            "doppler_std": sdev,
+            "SNR": snr,
+        }
+
+    # ---------------- block-boundary healing ----------------
+
+    def checkSymbolOverlap(self, noError, centres, idxSymbol, dataBits, trustSymbol):
+        """±1-symbol alignment of consecutive blocks.
+
+        Port of reference ``demodulator_base.py:863-988``: compare the
+        saved tail of the previous block against the head of this one
+        under on-time / one-early / one-late hypotheses and drop or
+        duplicate one boundary bit when both ends agree.
+        """
+        startCand = np.where(centres >= self.sigOverlapWin)[0]
+        endCand = np.where(centres > (self.Nfft - self.sigOverlapWin))[0]
+        startOverlap = int(startCand[0]) if len(startCand) else 0
+        endOverlap = int(endCand[0]) if len(endCand) else len(centres)
+
+        idxSymbolWin = dataBits[startOverlap:endOverlap]
+        idxSymbolPreWin = dataBits[:startOverlap]
+
+        off = self.overlapOffset
+        allowed = off - self.symbol_check_match_threshold  # errors tolerated at full window
+
+        def _match(a, b):
+            """Match count and effective threshold over the common length.
+
+            The reference compares fixed 20-symbol slices and silently
+            fails when the post-window tail is shorter (it throws into
+            its except clause, demodulator_base.py:965-967). We compare
+            over the common length with a proportionally scaled error
+            allowance, so healing also works near minimal tails.
+            """
+            L = min(len(a), len(b), off)
+            if L < 4:
+                return -1, 0
+            matches = int(np.sum(np.asarray(a[:L]) == np.asarray(b[:L])))
+            thr_l = L - max(1, int(round(allowed * L / off)))
+            return matches, thr_l
+
+        try:
+            if noError > self.symbol_check_error_threshold:
+                log.debug("Too many symbol errors -- skip overlap check")
+            elif len(self.poswinP) > 0 and len(idxSymbolWin) > 1:
+                pre = self.poswinP
+                symPre, thrP = _match(pre, idxSymbolWin)
+                symEarlyPre, thrEP = _match(pre, idxSymbolWin[1:])
+                symLatePre, thrLP = _match(pre[1:], idxSymbolWin)
+
+                tail_prev = self.posSymEnd
+                tail_cur = idxSymbolPreWin
+                Lt = min(len(tail_prev) - 1, len(tail_cur), off)
+                if Lt >= 4:
+                    symPos = int(np.sum(tail_prev[-Lt:] == tail_cur[-Lt:]))
+                    symEarlyPos = int(np.sum(tail_prev[-Lt - 1 : -1] == tail_cur[-Lt:]))
+                    symLatePos = int(
+                        np.sum(tail_prev[-Lt:] == tail_cur[-Lt - 1 : -1])
+                    ) if len(tail_cur) > Lt else -1
+                    thrT = Lt - max(1, int(round(allowed * Lt / off)))
+                else:
+                    symPos = symEarlyPos = symLatePos = -1
+                    thrT = 0
+
+                if symPre >= thrP and symPre >= max(symEarlyPre, symLatePre):
+                    pass  # on-time
+                else:
+                    maxPre = max(symPre, symEarlyPre, symLatePre)
+                    if symEarlyPre >= thrEP and symEarlyPre == maxPre:
+                        # current window repeats the prev block's last bit
+                        if symEarlyPos < 0 or symEarlyPos >= max(symPos, thrT):
+                            log.debug("overlap healing: removed duplicated first bit")
+                            startOverlap += 1
+                    elif symLatePre >= thrLP and symLatePre == maxPre:
+                        # one bit was dropped at the boundary
+                        if symLatePos < 0 or symLatePos >= max(symPos, thrT):
+                            log.debug("overlap healing: re-inserted dropped first bit")
+                            startOverlap -= 1
+        except Exception as e:  # healing must never kill the stream
+            log.error("symbol overlap healing failed:")
+            log.exception(e)
+
+        startOverlap = max(startOverlap, 0)
+        dataBitsWin = dataBits[startOverlap:endOverlap]
+        trustSymbolWin = trustSymbol[startOverlap:endOverlap]
+        centresWin = centres[startOverlap:endOverlap]
+        idxSymbolWin = dataBits[startOverlap:endOverlap]
+
+        self.poswinP = dataBits[endOverlap:]
+        if len(dataBitsWin) > off:
+            self.posSymEnd = dataBitsWin[-off - 1 :]
+
+        return centresWin, dataBitsWin, trustSymbolWin, idxSymbolWin

@@ -84,11 +84,15 @@ def find_doppler_estimate(E, num_dopplers: int, array_offset: int, sum_all_masks
         i0 = (i0 + off).astype(jnp.float32)
         i1 = (i1 + off).astype(jnp.float32)
         wsum = i0 * v0 + i1 * v1
-        dopp_idx = wsum / (v0 + v1)
+        # all-zero energy (e.g. an idle channel underflowing f32) must
+        # degrade to index 0, not NaN — parity with the reference's
+        # host-side ValueError fallback (demodulator_base.py:625-630)
+        denom = v0 + v1
+        dopp_idx = jnp.where(denom > 0, wsum / jnp.where(denom > 0, denom, 1.0), 0.0)
         if off > 0:
             quality = jnp.maximum(v0, v1) / tot[0]
         else:
-            quality = wsum / (i0 + i1)
+            quality = jnp.where(denom > 0, wsum / (i0 + i1), 0.0)
         return dopp_idx, 10.0 * jnp.log10(quality)
 
     sub = E[off : off + num_dopplers, :].T  # (M, nd)
@@ -96,9 +100,10 @@ def find_doppler_estimate(E, num_dopplers: int, array_offset: int, sum_all_masks
     i0 = (i0 + off).astype(jnp.float32)
     i1 = (i1 + off).astype(jnp.float32)
     wsum = i0 * v0 + i1 * v1
-    idxs = wsum / (v0 + v1)
+    denom = v0 + v1
+    idxs = jnp.where(denom > 0, wsum / jnp.where(denom > 0, denom, 1.0), 0.0)
     if off > 0:
         quals = jnp.maximum(v0, v1) / E[0, :]
     else:
-        quals = wsum / (i0 + i1)
+        quals = jnp.where(denom > 0, wsum / (i0 + i1), 0.0)
     return idxs.mean(), 10.0 * jnp.log10(quals.mean())

@@ -149,21 +149,30 @@ class PacketCC11xx(Packet):
 
     Layout (reference CC11xx.py:219-226)::
 
-        | flags (4B) | sync (4B) | pLen (1B) | addr (1B) | data (pLen-1 B) | CRC (2B) |
+        | flags (4B) | sync (4B) | pLen (1B) | addr (1B) | data (pLen-3 B) | CRC (2B) |
 
-    The length byte is PN9-whitened on air; the CRC covers
-    [len byte, payload bytes] with poly 0x18005 init 0xFFFF.
+    pLen counts [addr + data + CRC] (the encoder adds 2 for the CRC,
+    encoders/CC11xx.py:82); pLen and the pLen bytes after it are
+    PN9-whitened on air; the CRC covers [pLen byte, addr, data] with
+    poly 0x18005 init 0xFFFF.
+
+    Deviation from the reference: the reference slices the frame to
+    ``packetLen + 11`` bytes and reads the CRC from the final two —
+    which its own encoder layout places two bytes *past* the frame end
+    (CC11xx.py:237-254,284-299 vs encoders/CC11xx.py:82-96). We slice to
+    the true frame length (``packetLen + 9`` bytes) and check the CRC
+    transmitted inside the whitened region.
     """
 
     packetLenFieldIndex = 8  # byte offset of the (whitened) length byte
     _msb_weights = 2 ** np.arange(7, -1, -1)
 
-    flagLen = 4  # preamble bytes
+    flagLen = 4  # preamble bytes covered by the rx correlation mask
     maskLen = 4  # sync bytes
     pLen = 1  # length-field bytes
     CRClen = 2
-    packetPreOverHead = flagLen + maskLen + pLen
-    packetPosOverHead = CRClen
+    packetPreOverHead = flagLen + maskLen + pLen  # bytes before the counted region
+    packetPosOverHead = 0  # CRC is inside the counted region
     packetLenOverHead = packetPreOverHead + packetPosOverHead
 
     def __init__(self, protocol, bits, *args, **kwargs):
@@ -184,7 +193,7 @@ class PacketCC11xx(Packet):
         return int(np.dot(field, self._msb_weights))
 
     def deWhitenData(self, byteData: np.ndarray):
-        n = self.packetLen
+        n = min(self.packetLen, len(byteData))
         byteData[:n] = np.bitwise_xor(byteData[:n], self.PN9[1 : n + 1])
 
     @property
@@ -192,27 +201,31 @@ class PacketCC11xx(Packet):
         return self.bits
 
     def getBinaryData(self):
-        """Return (payload bytes, crcError, payload). crcError is truthy on mismatch."""
+        """Return (payload bytes, crcError, payload). crcError truthy on mismatch.
+
+        payload = [addr + data] (CRC stripped), de-whitened.
+        """
         lenBytes = int(self.packetLen) & 0xFF
         start = self.packetPreOverHead * 8
+        avail = (len(self.bits) - start) // 8
+        nread = min(lenBytes, avail)
         data = np.dot(
-            self.bits[start : start + lenBytes * 8].reshape(lenBytes, 8),
+            self.bits[start : start + nread * 8].reshape(nread, 8),
             self._msb_weights,
         ).astype(np.uint8)
 
         if self.protocol.deWhiten:
             self.deWhitenData(data)
 
-        crc_bytes = np.dot(
-            self.bits[-self.CRClen * 8 :].reshape(self.CRClen, 8), self._msb_weights
-        )
-        crc_rx = int(np.sum(crc_bytes * np.array([1, 2**8])))  # [low, high] on air
+        if nread < lenBytes or lenBytes < self.CRClen:
+            return data, True, data  # truncated frame can never pass CRC
 
-        check_buf = np.r_[lenBytes, data].astype(np.uint8)
-        crc_calc = crc16_cc(check_buf)
+        payload = data[: -self.CRClen]
+        crc_rx = int(data[-2]) | (int(data[-1]) << 8)  # [low, high] on air
+        crc_calc = crc16_cc(np.r_[np.uint8(lenBytes), payload].astype(np.uint8))
 
         crcError = crc_rx != crc_calc
-        return data, crcError, data
+        return payload, crcError, payload
 
     def printPacket(self, pre_str="", pos_str="", verbosity=0, **kwargs):
         data = self.getBinaryData()[0]

@@ -1,0 +1,106 @@
+"""Tx framers/encoders (OSI L2).
+
+Capability parity with ``pyCuSDR/modulator/encoders/`` — the base hook
+pipeline (pre-frame → frame → post-frame, ``encoder_base.py:10-90``) and
+the CC11xx framer (length byte + CRC-16 + PN9 whitening + preamble/sync,
+``CC11xx.py:16-148``).
+"""
+
+import logging
+
+import numpy as np
+
+from pycusdr_tpu.utils.crc import crc16_cc
+from pycusdr_tpu.utils.shift_registers import pn9
+
+log = logging.getLogger("pycusdr_tpu." + __name__)
+
+MAX_TX_DATA_LEN = 256
+
+
+class Encoder:
+    """Base framer: identity pipeline with the standard hooks."""
+
+    name = "base"
+
+    def __init__(self, protocol, confRadio):
+        self.protocol = protocol
+        self.confRadio = confRadio
+
+    def preframingProcess(self, byteData):
+        return byteData
+
+    def frame(self, bitData):
+        return bitData
+
+    def postframingProcess(self, bitData):
+        return bitData
+
+    def encodeAndFrame(self, data):
+        data = np.asarray(data, dtype=np.uint8)
+        data = self.preframingProcess(data)
+        bits = np.unpackbits(data)
+        return self.postframingProcess(self.frame(bits))
+
+
+class RawEncoder(Encoder):
+    """Pass-through bit framer used by benchmark protocols: prepends the
+    protocol's seeded header so the bench decoder's mask matches."""
+
+    name = "raw-bench"
+
+    def __init__(self, protocol, confRadio):
+        super().__init__(protocol, confRadio)
+        self.Flags, self.Header = protocol.initTxHeader()
+
+    def encodeAndFrame(self, data):
+        bits = np.asarray(data, dtype=np.uint8)
+        if bits.max(initial=0) > 1:  # bytes given, expand
+            bits = np.unpackbits(bits)
+        return np.r_[self.Flags, self.Header, bits].astype(np.uint8)
+
+
+class CC11xxEncoder(Encoder):
+    """CC11xx compatible framer.
+
+    frame layout: preamble flags | sync | [len | payload | CRC16] where
+    the bracketed section is PN9-whitened when the protocol asks for it.
+    """
+
+    name = "CC11xx"
+
+    def __init__(self, protocol, confRadio):
+        super().__init__(protocol, confRadio)
+        self.whiten = protocol.whiten
+        self.Flags, self.Header = protocol.initTxHeader()
+        self.TailFlags, self.Tail = protocol.initTxTail()
+        if self.whiten:
+            self.PN9seq = pn9()
+
+    def preframingProcess(self, byteData):
+        if self.whiten:
+            byteData = np.bitwise_xor(byteData, self.PN9seq[: len(byteData)].astype(np.uint8))
+        return byteData
+
+    def encodeAndFrame(self, data):
+        from pycusdr_tpu.tx import DataLengthError
+
+        data = np.asarray(data, dtype=np.uint8)
+        dataLen = len(data) + 2  # CRC included in the length count
+        if dataLen > MAX_TX_DATA_LEN:
+            raise DataLengthError(
+                f"TX maximum allowed data length {MAX_TX_DATA_LEN} bytes, got {dataLen}"
+            )
+
+        framed = np.r_[np.uint8(dataLen), data].astype(np.uint8)
+        crc = crc16_cc(framed)
+        crc_packed = np.array([crc & 0xFF, crc >> 8], dtype=np.uint8)  # [low, high]
+        framed = np.r_[framed, crc_packed].astype(np.uint8)
+
+        framed = self.preframingProcess(framed)
+        bits = np.unpackbits(framed)
+        return self.postframingProcess(self.frame(bits))
+
+    def frame(self, bits):
+        preamble = np.r_[self.Flags, self.Header].astype(np.uint8)
+        return np.r_[preamble, bits].astype(np.uint8)

@@ -28,7 +28,7 @@ def bench_conf():
         "GPU": {
             "UHF": {
                 "blockSize": 13,
-                "overlap": 8,
+                "overlap": 10,
                 "bitWindowWidth": 7,
                 "xcorrMaskSize": 3,
                 "clippedPeakSpan": 20,

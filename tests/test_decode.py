@@ -1,0 +1,150 @@
+"""Tests: frame finder (FIXED + FLAGS modes), CC11xx packet codec
+roundtrip, packet dedup, Reed-Solomon codec."""
+
+import numpy as np
+import pytest
+
+from pycusdr_tpu.decode import Decoder, PacketHist, RSCodec
+from pycusdr_tpu.decode.rs import RSError
+from pycusdr_tpu.protocol import loadProtocol
+from pycusdr_tpu.protocol.benchmark.bench_base import seeded_bits
+from pycusdr_tpu.protocol.cc11xx import CC11xx
+from pycusdr_tpu.tx.encoders import CC11xxEncoder
+
+
+@pytest.fixture(scope="module")
+def cc_protocol():
+    conf = {
+        "Radios": {
+            "Protocol": {
+                "rx_preamble": ["0xaa", "0xaa", "0xaa", "0xaa"],
+                "rx_sync_seq": ["0xd6", "0xba", "0xd6", "0xba"],
+                "tx_preamble": ["0xaa"],
+                "tx_num_preambles": 10,
+                "tx_sync_seq": ["0xd6", "0xba", "0xd6", "0xba"],
+            }
+        }
+    }
+    return CC11xx(conf=conf)
+
+
+class TestCC11xxRoundtrip:
+    def test_encode_decode_bits(self, cc_protocol):
+        """encoder -> on-air bits -> PacketCC11xx must recover payload + CRC ok."""
+        enc = CC11xxEncoder(cc_protocol, {"samplesPerSym": 16, "baud": 9600})
+        payload = np.arange(1, 40, dtype=np.uint8)  # includes 'addr' byte
+        bits = enc.encodeAndFrame(payload)
+
+        # the rx mask matches the last 4 preamble bytes + sync: locate it
+        mask = cc_protocol.get_mask()
+        score = np.convolve(bits * 1.0, mask)
+        start = int(np.argmax(score)) - len(mask) + 1
+        pkt_bits = bits[start : start + cc_protocol.packetLen]
+
+        pkt = cc_protocol.Packet(pkt_bits, 0, 0)
+        data, crcError, _ = pkt.getBinaryData()
+        assert not crcError
+        assert np.array_equal(data, payload)
+
+    def test_crc_detects_corruption(self, cc_protocol):
+        enc = CC11xxEncoder(cc_protocol, {})
+        payload = np.arange(1, 20, dtype=np.uint8)
+        bits = enc.encodeAndFrame(payload)
+        mask = cc_protocol.get_mask()
+        score = np.convolve(bits * 1.0, mask)
+        start = int(np.argmax(score)) - len(mask) + 1
+        pkt_bits = bits[start:].copy()
+        pkt_bits[9 * 8 + 3] ^= 1  # flip a payload bit
+        pkt = cc_protocol.Packet(pkt_bits, 0, 0)
+        _, crcError, _ = pkt.getBinaryData()
+        assert crcError
+
+
+class TestFrameFinderFixed:
+    def test_finds_packet_across_blocks(self, bench_conf):
+        protocol = loadProtocol("bench_FSK")(conf=bench_conf)
+        protocol.packetLen = 1000
+        dec = Decoder(bench_conf, protocol)
+
+        # In the bench design the header mask IS the packet's first 128
+        # bits (both seeded 123, reference bench_base.py:67-75,178-181),
+        # so the detected packet starts at the mask match.
+        payload = seeded_bits(1000, 123)
+        rng = np.random.RandomState(7)
+        stream = np.r_[rng.randint(0, 2, 700), payload, rng.randint(0, 2, 400)]
+
+        # feed in two blocks, packet straddles the boundary
+        split = 900
+        pkts1, _, _ = dec.findFrames(stream[:split], 0)
+        pkts2, _, _ = dec.findFrames(stream[split:], split)
+        pkts = pkts1 + pkts2
+        assert len(pkts) == 1
+        assert pkts[0].checkPacketData() == 0
+
+    def test_no_false_positives_on_noise(self, bench_conf):
+        protocol = loadProtocol("bench_FSK")(conf=bench_conf)
+        protocol.packetLen = 1000
+        dec = Decoder(bench_conf, protocol)
+        rng = np.random.RandomState(8)
+        pkts, _, _ = dec.findFrames(rng.randint(0, 2, 5000), 0)
+        assert len(pkts) == 0
+
+
+class TestPacketHist:
+    def test_dedup(self):
+        ph = PacketHist(maxLen=10, timeout=10)
+        p = np.array([1, 2, 3], dtype=np.uint8)
+        assert ph.checkHash(p)
+        assert not ph.checkHash(p)
+        assert ph.checkHash(np.array([1, 2, 4], dtype=np.uint8))
+
+    def test_timeout_allows_repeat(self):
+        ph = PacketHist(maxLen=10, timeout=0.0)
+        p = np.array([9, 9], dtype=np.uint8)
+        assert ph.checkHash(p)
+        import time
+
+        time.sleep(0.01)
+        assert ph.checkHash(p)
+
+
+class TestReedSolomon:
+    def test_roundtrip_clean(self):
+        rs = RSCodec(255, 223)
+        rng = np.random.RandomState(5)
+        msg = rng.randint(0, 256, 223)
+        cw = rs.encode(msg)
+        dec, nerr = rs.decode(cw)
+        assert nerr == 0
+        assert np.array_equal(dec, msg.astype(np.uint8))
+
+    @pytest.mark.parametrize("n_errors", [1, 5, 16])
+    def test_corrects_errors(self, n_errors):
+        rs = RSCodec(255, 223)
+        rng = np.random.RandomState(6 + n_errors)
+        msg = rng.randint(0, 256, 223)
+        cw = rs.encode(msg).astype(np.int64)
+        pos = rng.choice(255, n_errors, replace=False)
+        cw[pos] ^= rng.randint(1, 256, n_errors)
+        dec, nerr = rs.decode(cw)
+        assert nerr == n_errors
+        assert np.array_equal(dec, msg.astype(np.uint8))
+
+    def test_uncorrectable_raises(self):
+        rs = RSCodec(255, 223)
+        rng = np.random.RandomState(9)
+        msg = rng.randint(0, 256, 223)
+        cw = rs.encode(msg).astype(np.int64)
+        pos = rng.choice(255, 40, replace=False)  # > t = 16
+        cw[pos] ^= rng.randint(1, 256, 40)
+        with pytest.raises(RSError):
+            rs.decode(cw)
+
+    def test_short_code(self):
+        rs = RSCodec(15, 11)  # still GF(256) symbols, shortened use
+        msg = np.arange(11)
+        cw = rs.encode(msg).astype(np.int64)
+        cw[3] ^= 0x55
+        dec, nerr = rs.decode(cw)
+        assert nerr == 1
+        assert np.array_equal(dec, msg.astype(np.uint8))
