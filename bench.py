@@ -1,0 +1,81 @@
+"""Headline benchmark: flagship UHF demod throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+Metric: sustained demodulation throughput of the full per-block chain
+(FFT → 64-bin MXU Doppler search → matched filtering → symbol timing →
+symbol detection → soft bits) at the operational UHF envelope
+(Nfft 2^16, overlap 2^10), counting effective (non-overlap) samples.
+
+vs_baseline: measured throughput divided by the BASELINE.json target of
+10x the CPU-reference implementation (the numpy transliteration of the
+reference hot path, ``pycusdr_tpu.dsp.reference.demod_block_numpy``,
+timed on this host). vs_baseline >= 1.0 means the north-star target
+"≥10× CPU-reference Msamples/s/chip" is met.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def time_fn(fn, n_iter, *args):
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = fn(*args)
+    return (time.perf_counter() - t0) / n_iter, out
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import flagship_spec
+    from pycusdr_tpu.dsp.block import build_process_block
+    from pycusdr_tpu.dsp.reference import demod_block_numpy
+
+    spec = flagship_spec()
+    rng = np.random.RandomState(0)
+    block = (
+        rng.randn(spec.Nfft).astype(np.float32)
+        + 1j * rng.randn(spec.Nfft).astype(np.float32)
+    ).astype(np.complex64)
+    eff_samples = spec.Nfft - spec.sigOverlap
+
+    # --- device path ---
+    process = build_process_block(spec, jit=True)
+    dblock = jax.device_put(block)
+    for _ in range(3):  # compile + warm
+        jax.block_until_ready(process(dblock))
+
+    def run_device(b):
+        return jax.block_until_ready(process(b))
+
+    n_iter = 30
+    dt, _ = time_fn(run_device, n_iter, dblock)
+    msps = eff_samples / dt / 1e6
+
+    # --- CPU reference (numpy transliteration of the reference chain) ---
+    t0 = time.perf_counter()
+    demod_block_numpy(spec, block)
+    cpu_dt = time.perf_counter() - t0
+    if cpu_dt < 2.0:  # average a couple more runs when cheap
+        cpu_dt, _ = time_fn(lambda b: demod_block_numpy(spec, b), 3, block)
+    cpu_msps = eff_samples / cpu_dt / 1e6
+
+    target = 10.0 * cpu_msps
+    print(
+        json.dumps(
+            {
+                "metric": "uhf_demod_throughput_per_chip",
+                "value": round(msps, 3),
+                "unit": "Msamples/s",
+                "vs_baseline": round(msps / target, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,281 @@
+"""The multi-chip demodulation step: channels x doppler/mask sharding.
+
+One jitted SPMD program replaces the reference's "one OS process + one
+CUDA context per Rx channel" layout (``pyCuSDR.py:244-251``) and its
+CPU softCombiner vote (``softCombiner.py:570-618``):
+
+* the ``channel`` mesh axis shards Rx antenna channels (pure data
+  parallelism — each shard runs the full per-channel chain),
+* the ``dopp`` mesh axis shards the Doppler-bin grid during the carrier
+  search and the matched-filter mask bank during demodulation (tensor
+  parallelism over the search dimension). The only cross-shard traffic
+  is tiny: an all-gather of the (D, M) energy matrix, a psum of the
+  timing power waveform, an all-gather of per-slot window maxima, and
+  the final all-gather of soft bits for the vote — all riding ICI.
+
+Per-stage parity citations are in ``pycusdr_tpu.ops`` / ``dsp.block``;
+this module only adds the sharding decomposition.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pycusdr_tpu.dsp.spec import DemodSpec
+from pycusdr_tpu.ops.demod_kernels import (
+    apply_best_doppler,
+    compute_snr,
+    threshold_input,
+)
+from pycusdr_tpu.ops.doppler_search import (
+    ABS_SUM_SCALE,
+    find_doppler_estimate,
+    make_shift_gather_indices,
+)
+from pycusdr_tpu.parallel.vote import vote_n_device
+
+TRUST_NORMAL = 2
+
+
+def _local_find_centres(P2_local, spSym, codeOffset, *, Nfft, windowWidth, spsymMin,
+                        numSymMax):
+    """Shard-local half of the windowed symbol argmax.
+
+    Same index math as ``ops.demod_kernels.find_centres`` (parity:
+    ``cuda_kernels.cu:78-146``) but only over the local mask rows;
+    returns (local max value, local flat argmax, geometry) so the global
+    argmax can be reduced across the ``dopp`` axis with the same
+    mask-major first-max tie-break as the CUDA kernel.
+    """
+    W = windowWidth
+    Wl = W // 2
+    Ml = P2_local.shape[0]
+
+    spc = jnp.maximum(spSym, float(spsymMin))
+    x = jnp.arange(numSymMax, dtype=jnp.float32)
+    base = x * spc - Wl + codeOffset
+    A0 = jnp.trunc(base).astype(jnp.int32)
+    comp = jnp.trunc(codeOffset).astype(jnp.int32) - jnp.minimum(A0, 0)
+    A = jnp.maximum(A0, 0)
+    L = jnp.minimum(A0 + W, Nfft) - A
+
+    k = jnp.arange(W, dtype=jnp.int32)
+    pos = jnp.clip(A[:, None] + k[None, :], 0, Nfft - 1)
+    valid = (k[None, :] < L[:, None]) & (A[:, None] < Nfft)
+
+    G = jnp.take(P2_local, pos, axis=1)  # (Ml, numSymMax, W)
+    G = jnp.transpose(G, (1, 0, 2))
+    G = jnp.where(valid[:, None, :], G, -1.0)
+
+    flat = G.reshape(numSymMax, Ml * W)
+    arg = jnp.argmax(flat, axis=1)
+    val = jnp.take_along_axis(flat, arg[:, None], axis=1)[:, 0]
+    nSym = (Nfft / spc).astype(jnp.int32)
+    return val, arg.astype(jnp.int32), x, spc, comp, nSym
+
+
+def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
+                             master_idx: int = 0, master_weight: float = 1.2):
+    """Return ``step(blocks) -> dict`` jitted over ``mesh``.
+
+    ``blocks``: (C, Nfft) complex64, channels sharded over the
+    ``channel`` axis (C must divide by mesh.shape['channel']).
+    """
+    nc = mesh.shape["channel"]
+    nd = mesh.shape["dopp"]
+    N = spec.Nfft
+    M = spec.num_masks
+    D = spec.D
+    W = spec.windowWidth
+    if M % nd:
+        raise ValueError(f"num_masks={M} must divide by dopp axis size {nd}")
+    if spec.bitLUT is None:
+        raise NotImplementedError(
+            "sharded demod step needs a centre-bit LUT protocol; "
+            "NRZ-S (BPSK) disambiguation runs on the single-chip path"
+        )
+    Ml = M // nd
+
+    # doppler grid padded to a multiple of nd (pad rows repeat the last
+    # shift; they are sliced off after the gather)
+    Dp = -(-D // nd) * nd
+    shifts_p = np.concatenate(
+        [spec.dopp_shifts, np.full(Dp - D, spec.dopp_shifts[-1], np.int32)]
+    )
+    shift_idx_p = make_shift_gather_indices(N, shifts_p)  # (Dp, N)
+
+    masks_f = np.asarray(spec.masks_f, np.complex64)  # (M, N)
+    Q_T = (np.abs(masks_f) ** 2).T.astype(np.float32)  # (N, M)
+    off_m = spec.code_search_mask_offset
+    w_mask = np.zeros(M, np.float32)
+    w_mask[off_m : M - off_m] = 1.0
+
+    hz_lut = spec.dopp_hz_lut.astype(np.float32)
+    dopp_shifts = spec.dopp_shifts.astype(np.int32)
+    bitLUT = None if spec.bitLUT is None else spec.bitLUT.astype(np.int8)
+    trust_normal = np.int8(TRUST_NORMAL * spec.voteWeight)
+    numSymMax = spec.numSymMax
+
+    est = partial(
+        find_doppler_estimate,
+        num_dopplers=spec.num_dopplers,
+        array_offset=spec.dopp_array_offset,
+        sum_all_masks=spec.sum_all_masks,
+    )
+
+    def step(blocks, shift_idx_l, masks_l, w_mask_l, Q_T_r, hz_r, shifts_r, lut_r):
+        # blocks: local (Cl, N); shift_idx_l: (Dp/nd, N); masks_l: (Ml, N)
+        sig = blocks.astype(jnp.complex64)
+        if not spec.disable_peak_thresholding:
+            sig, _ = jax.vmap(lambda s: threshold_input(s, spec.peak_threshold_scale))(sig)
+        S = jnp.fft.fft(sig, axis=1)  # (Cl, N)
+
+        if spec.doppler_search:
+            Pw = (S.real**2 + S.imag**2).astype(jnp.float32)  # (Cl, N)
+            Pshift = jnp.take(Pw, shift_idx_l, axis=1)  # (Cl, Dl, N)
+            E_local = jax.lax.dot_general(
+                Pshift, Q_T_r,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (N / ABS_SUM_SCALE)  # (Cl, Dl, M)
+            E = jax.lax.all_gather(E_local, "dopp", axis=1, tiled=True)[:, :D]
+            dopp_idx, quality_db = jax.vmap(est)(E)
+
+            lowIdx = jnp.clip(jnp.floor(dopp_idx).astype(jnp.int32), 0, D - 1)
+            highIdx = jnp.clip(jnp.ceil(dopp_idx).astype(jnp.int32), 0, D - 1)
+            frac = jnp.mod(dopp_idx, 1.0)
+            doppler_hz = hz_r[lowIdx] + (hz_r[highIdx] - hz_r[lowIdx]) * frac
+            sl = shifts_r[lowIdx].astype(jnp.float32)
+            sh = shifts_r[highIdx].astype(jnp.float32)
+            shift = jnp.round(sl + (sh - sl) * frac).astype(jnp.int32)  # (Cl,)
+            absS = jnp.abs(S)
+            snr_db = jax.vmap(
+                lambda a, lo, hi: compute_snr(a, lo, hi, spec.snr_window, N)
+            )(absS, shifts_r[lowIdx], shifts_r[highIdx])
+            freq_offset_hz = doppler_hz - spec.centreFreqOffset
+        else:
+            Cl = blocks.shape[0]
+            shift = jnp.full((Cl,), spec.dopp_offset_idx, jnp.int32)
+            doppler_hz = jnp.zeros((Cl,), jnp.float32)
+            freq_offset_hz = jnp.zeros((Cl,), jnp.float32)
+            quality_db = jnp.zeros((Cl,), jnp.float32)
+            snr_db = jnp.zeros((Cl,), jnp.float32)
+
+        # --- demod with the mask bank sharded over "dopp" ---
+        X = jax.vmap(lambda s, sh_: apply_best_doppler(s, masks_l, sh_))(S, shift)
+        P2 = (X.real**2 + X.imag**2).astype(jnp.float32)  # (Cl, Ml, N)
+
+        power = jax.lax.psum(
+            jnp.einsum("m,cmn->cn", w_mask_l, P2), "dopp"
+        )  # (Cl, N) summed matched-filter power, all masks
+
+        R = jnp.fft.rfft(power, axis=1)
+        band = R[:, spec.code_idx_lo : spec.code_idx_hi]
+        band_pow = band.real**2 + band.imag**2
+        k_rel = jnp.argmax(band_pow, axis=1)
+        peak = jnp.take_along_axis(band, k_rel[:, None], axis=1)[:, 0]
+        phase = jnp.arctan2(peak.imag, peak.real)
+        kf = (spec.code_idx_lo + k_rel).astype(jnp.float32)
+        spSym = N / kf
+        codeOffset = -phase / jnp.pi * spSym / 2
+        codeOffset = jnp.where(codeOffset < 0, codeOffset + spSym - 1, codeOffset)
+
+        val_l, arg_l, x, spc, comp, nSym = jax.vmap(
+            lambda p2, ss, co: _local_find_centres(
+                p2, ss, co, Nfft=N, windowWidth=W,
+                spsymMin=spec.spsymMin, numSymMax=numSymMax,
+            )
+        )(P2, spSym, codeOffset)
+
+        # global mask-major argmax across the dopp shards
+        d_id = jax.lax.axis_index("dopp")
+        g_idx = d_id * (Ml * W) + arg_l  # (Cl, numSymMax) global flat index
+        vals = jax.lax.all_gather(val_l, "dopp", axis=0, tiled=False)  # (nd, Cl, nSymMax)
+        gidx = jax.lax.all_gather(g_idx, "dopp", axis=0, tiled=False)
+        best_val = jnp.max(vals, axis=0)
+        big = jnp.int32(M * W + 1)
+        g = jnp.min(jnp.where(vals == best_val, gidx, big), axis=0)
+        symbols = (g // W).astype(jnp.int32)
+        maxK = (g % W).astype(jnp.int32)
+        centres = (
+            jnp.trunc(x * spc[:, None] - (W // 2) + maxK.astype(jnp.float32)).astype(jnp.int32)
+            + comp
+        )
+
+        bits = jnp.take(lut_r, symbols, axis=0).astype(jnp.int8)
+        slot = jnp.arange(numSymMax, dtype=jnp.int32)[None, :]
+        trust = jnp.where(slot < nSym[:, None], trust_normal, jnp.int8(-1))
+
+        out = {
+            "bits": bits,
+            "trust": trust,
+            "symbols": symbols,
+            "centres": centres,
+            "mags": best_val,
+            "nSym": nSym,
+            "spSym": spSym,
+            "doppler_hz": doppler_hz,
+            "freq_offset_hz": freq_offset_hz,
+            "quality_db": quality_db,
+            "snr_db": snr_db,
+            "shift": shift,
+        }
+
+        if vote:
+            bits_all = jax.lax.all_gather(bits, "channel", axis=0, tiled=True)
+            trust_all = jax.lax.all_gather(trust, "channel", axis=0, tiled=True)
+            voted, vtrust = vote_n_device(bits_all, trust_all, master_idx, master_weight)
+            out["bits_voted"] = voted
+            out["trust_voted"] = vtrust
+        return out
+
+    ch = P("channel", None)
+    rep = P()
+    out_specs = {
+        "bits": ch, "trust": ch, "symbols": ch, "centres": ch, "mags": ch,
+        "nSym": P("channel"), "spSym": P("channel"), "doppler_hz": P("channel"),
+        "freq_offset_hz": P("channel"), "quality_db": P("channel"),
+        "snr_db": P("channel"), "shift": P("channel"),
+    }
+    if vote:
+        out_specs["bits_voted"] = rep
+        out_specs["trust_voted"] = rep
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            P("channel", None),   # blocks
+            P("dopp", None),      # shift gather map
+            P("dopp", None),      # mask bank
+            P("dopp"),            # mask weight vector
+            P(None, None),        # Q_T
+            P(None),              # hz lut
+            P(None),              # doppler shifts
+            P(None),              # bit LUT
+        ),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+
+    dev_consts = (
+        jnp.asarray(shift_idx_p),
+        jnp.asarray(masks_f),
+        jnp.asarray(w_mask),
+        jnp.asarray(Q_T),
+        jnp.asarray(hz_lut),
+        jnp.asarray(dopp_shifts),
+        jnp.asarray(bitLUT),
+    )
+    blocks_sharding = NamedSharding(mesh, P("channel", None))
+
+    @jax.jit
+    def run(blocks):
+        blocks = jax.lax.with_sharding_constraint(blocks, blocks_sharding)
+        return sharded(blocks, *dev_consts)
+
+    return run
