@@ -7,16 +7,20 @@ needs 6 kernel launches, 3 cuFFT plans and 4 device→host syncs per
 block (SURVEY §3.2); here there is exactly one device→host transfer of
 the small result bundle.
 
+The graph is complex-free: signals travel as split ``[re, im]`` float32
+(see ``ops.cfft``) because this TPU backend has no complex dtype. The
+public entry takes a ``(2, Nfft)`` float32 block; use ``cfft.c2ri`` at
+the host boundary.
+
 Golden-tested against ``dsp.reference.demod_block_numpy``.
 """
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from pycusdr_tpu.dsp.spec import DemodSpec
+from pycusdr_tpu.ops.cfft import c2ri, fft_ri
 from pycusdr_tpu.ops.demod_kernels import (
     apply_best_doppler,
     compute_snr,
@@ -39,38 +43,36 @@ TRUST_CLIPPED = -2
 
 
 def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False):
-    """Return ``process_block(samples) -> dict`` jitted for ``spec``.
+    """Return ``process_block(samples_ri) -> dict`` jitted for ``spec``.
 
-    All spec-derived constants are closed over (device-resident); the
-    only runtime input is the complex64 sample block.
+    ``samples_ri``: (2, Nfft) float32 split complex block. All
+    spec-derived constants are closed over as numpy (embedded by XLA).
     """
     N = spec.Nfft
-    masks_f = jnp.asarray(spec.masks_f)  # (M, N) complex64
-    Q_T = jnp.asarray(
-        (np.abs(spec.masks_f.astype(np.complex64)) ** 2).T.astype(np.float32)
-    )  # (N, M)
-    shift_idx = jnp.asarray(make_shift_gather_indices(N, spec.dopp_shifts))
-    dopp_shifts = jnp.asarray(spec.dopp_shifts.astype(np.int32))
-    hz_lut = jnp.asarray(spec.dopp_hz_lut.astype(np.float32))
+    masks_ri = c2ri(spec.masks_f)  # (M, 2, N) f32
+    Q_T = (np.abs(spec.masks_f.astype(np.complex64)) ** 2).T.astype(np.float32)  # (N, M)
+    shift_idx = make_shift_gather_indices(N, spec.dopp_shifts)
+    dopp_shifts = spec.dopp_shifts.astype(np.int32)
+    hz_lut = spec.dopp_hz_lut.astype(np.float32)
     D = spec.D
 
-    bitLUT = None if spec.bitLUT is None else jnp.asarray(spec.bitLUT.astype(np.int8))
-    symLUT = None if spec.symbolLUT is None else jnp.asarray(spec.symbolLUT.astype(np.int32))
+    bitLUT = None if spec.bitLUT is None else spec.bitLUT.astype(np.int8)
+    symLUT = None if spec.symbolLUT is None else spec.symbolLUT.astype(np.int32)
     trust_normal = np.int8(TRUST_NORMAL * spec.voteWeight)
 
-    def process_block(samples: jnp.ndarray) -> dict:
-        sig = samples.astype(jnp.complex64)
+    def process_block(samples_ri: jnp.ndarray) -> dict:
+        sig = samples_ri.astype(jnp.float32)
 
         if spec.disable_peak_thresholding:
             clipped = jnp.zeros((N,), dtype=bool)
         else:
             sig, clipped = threshold_input(sig, spec.peak_threshold_scale)
 
-        S = jnp.fft.fft(sig)
-        absS = jnp.abs(S)
+        S = fft_ri(sig)  # (2, N)
+        P = S[0] ** 2 + S[1] ** 2  # power spectrum
 
         if spec.doppler_search:
-            P = (S.real**2 + S.imag**2).astype(jnp.float32)
+            absS = jnp.sqrt(P)
             E = doppler_energy_matmul(P, Q_T, shift_idx)
             dopp_idx, quality_db = find_doppler_estimate(
                 E, spec.num_dopplers, spec.dopp_array_offset, spec.sum_all_masks
@@ -79,13 +81,13 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False)
             lowIdx = jnp.clip(jnp.floor(dopp_idx).astype(jnp.int32), 0, D - 1)
             highIdx = jnp.clip(jnp.ceil(dopp_idx).astype(jnp.int32), 0, D - 1)
             frac = jnp.mod(dopp_idx, 1.0)
-            doppler_hz = hz_lut[lowIdx] + (hz_lut[highIdx] - hz_lut[lowIdx]) * frac
-            sl = dopp_shifts[lowIdx].astype(jnp.float32)
-            sh = dopp_shifts[highIdx].astype(jnp.float32)
+            hz = jnp.asarray(hz_lut)
+            sh_t = jnp.asarray(dopp_shifts)
+            doppler_hz = hz[lowIdx] + (hz[highIdx] - hz[lowIdx]) * frac
+            sl = sh_t[lowIdx].astype(jnp.float32)
+            sh = sh_t[highIdx].astype(jnp.float32)
             shift = jnp.round(sl + (sh - sl) * frac).astype(jnp.int32)
-            snr_db = compute_snr(
-                absS, dopp_shifts[lowIdx], dopp_shifts[highIdx], spec.snr_window, N
-            )
+            snr_db = compute_snr(absS, sh_t[lowIdx], sh_t[highIdx], spec.snr_window, N)
             freq_offset_hz = doppler_hz - spec.centreFreqOffset
         else:
             E = jnp.zeros((D, spec.num_masks), dtype=jnp.float32)
@@ -96,8 +98,8 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False)
             snr_db = jnp.float32(0.0)
             shift = jnp.int32(spec.dopp_offset_idx)
 
-        X = apply_best_doppler(S, masks_f, shift)
-        P2 = (X.real**2 + X.imag**2).astype(jnp.float32)  # (M, N)
+        X = apply_best_doppler(S, jnp.asarray(masks_ri), shift)  # (M, 2, N)
+        P2 = X[:, 0] ** 2 + X[:, 1] ** 2  # (M, N)
 
         spSym, codeOffset, code_val = find_code_rate_and_phase(
             P2, spec.code_idx_lo, spec.code_idx_hi, N, spec.code_search_mask_offset
@@ -115,10 +117,10 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False)
 
         trust = jnp.full((spec.numSymMax,), trust_normal, dtype=jnp.int8)
         if bitLUT is not None:
-            bits = extract_bits_lut(symbols, bitLUT)
+            bits = extract_bits_lut(symbols, jnp.asarray(bitLUT))
             nBits = nSym
         else:
-            bits, err = extract_bits_nrzs(symbols, symLUT)
+            bits, err = extract_bits_nrzs(symbols, jnp.asarray(symLUT))
             trust = jnp.where(err, jnp.int8(TRUST_SYMBOL_ERROR), trust)
             nBits = nSym - 1
 

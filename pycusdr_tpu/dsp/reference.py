@@ -69,7 +69,9 @@ def doppler_energy(S: np.ndarray, masks_f: np.ndarray, shifts: np.ndarray) -> np
     N = len(S)
     P = (S.real**2 + S.imag**2).astype(np.float64)
     Q = (masks_f.real.astype(np.float64) ** 2 + masks_f.imag.astype(np.float64) ** 2)
-    idx = (np.arange(N)[None, :] + np.asarray(shifts)[:, None]) % N
+    # NB: cast shifts up front — broadcasting int32 against int64 here
+    # sends numpy's % down a pathological slow path (12 s vs 12 ms)
+    idx = (np.arange(N)[None, :] + np.asarray(shifts, np.int64)[:, None]) % N
     Pshift = P[idx]  # (D, N)
     return Pshift @ Q.T * (N / ABS_SUM_SCALE)
 

@@ -16,6 +16,7 @@ import numpy as np
 
 from pycusdr_tpu.dsp.block import build_process_block
 from pycusdr_tpu.dsp.spec import DemodSpec, build_spec
+from pycusdr_tpu.ops.cfft import c2ri
 
 log = logging.getLogger("pycusdr_tpu." + __name__)
 
@@ -84,7 +85,10 @@ class Demodulator:
         """Run the device graph; return (freqOffset_Hz, sdev_Hz, clippedPeaks, SNR)."""
         if samples is None:
             samples = self._signal_buffer
-        res = self._process_block(np.ascontiguousarray(samples, dtype=np.complex64))
+        samples = np.ascontiguousarray(samples, dtype=np.complex64)
+        # host boundary: complex64 -> split (2, N) float32 (the device
+        # graph is complex-free; see ops/cfft.py)
+        res = self._process_block(c2ri(samples))
         # one bundled device->host transfer
         self._last = {k: np.asarray(v) for k, v in res.items()}
         r = self._last

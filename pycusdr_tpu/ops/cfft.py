@@ -1,0 +1,130 @@
+"""Split-complex FFT and complex arithmetic on real-only TPU backends.
+
+TPU has no native complex dtype (and this backend rejects complex64
+outright), so the framework carries complex tensors as a leading
+length-2 axis ``[re, im]`` of float32 and implements the FFT directly:
+an iterative Stockham autosort radix-2 transform, log2(N) fully
+vectorised VPU stages with per-stage twiddle tables precomputed in
+numpy. Batch dimensions broadcast, shapes are static, and the whole
+transform inlines into the surrounding XLA graph (no plans, no
+libraries — the TPU replacement for the reference's cuFFT binding,
+``lib/cufft.py``).
+
+Convention: a "split" array has shape (..., 2, N) — re = x[..., 0, :],
+im = x[..., 1, :]. N must be a power of two.
+"""
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def c2ri(x: np.ndarray) -> np.ndarray:
+    """complex host array (..., N) -> float32 split array (..., 2, N)."""
+    x = np.asarray(x)
+    return np.stack([x.real, x.imag], axis=-2).astype(np.float32)
+
+
+def ri2c(x) -> np.ndarray:
+    """split array (..., 2, N) (device or host) -> complex64 host array."""
+    x = np.asarray(x)
+    return (x[..., 0, :] + 1j * x[..., 1, :]).astype(np.complex64)
+
+
+def cmul(ar, ai, br, bi):
+    """Elementwise complex multiply on split parts."""
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def cmag2(ar, ai):
+    return ar * ar + ai * ai
+
+
+@lru_cache(maxsize=None)
+def _twiddles(n: int, sign: float):
+    """Per-stage Stockham twiddle tables for length-n radix-2 FFT.
+
+    Stage t (t = 0..p-1) has l = n >> (t+1) groups; twiddle_j =
+    exp(sign*2πi·j/(2l)) for j in [0, l). Returned as float32
+    (re, im) pairs shaped (l, 1) for broadcast against (..., l, m).
+    """
+    p = n.bit_length() - 1
+    assert 1 << p == n, f"FFT length {n} is not a power of two"
+    out = []
+    l = n // 2
+    while l >= 1:
+        j = np.arange(l)
+        w = np.exp(sign * 2j * np.pi * j / (2 * l))
+        # cache plain numpy (jit traces embed them as constants; caching
+        # device arrays created mid-trace would leak tracers)
+        out.append(
+            (w.real.astype(np.float32)[:, None], w.imag.astype(np.float32)[:, None])
+        )
+        l //= 2
+    return out
+
+
+def _stockham(re, im, n: int, sign: float):
+    """Radix-2 Stockham autosort FFT over the last axis (length n)."""
+    tw = _twiddles(n, sign)
+    batch = re.shape[:-1]
+    l, m = n // 2, 1
+    for wr, wi in tw:
+        a_r = re.reshape(batch + (2, l, m))
+        a_i = im.reshape(batch + (2, l, m))
+        c0r, c1r = a_r[..., 0, :, :], a_r[..., 1, :, :]
+        c0i, c1i = a_i[..., 0, :, :], a_i[..., 1, :, :]
+        sr, si = c0r + c1r, c0i + c1i
+        dr, di = c0r - c1r, c0i - c1i
+        tr, ti = cmul(dr, di, wr, wi)
+        # B[j, 0, k] = sum; B[j, 1, k] = w_j * diff  -> (l, 2, m)
+        br = jnp.stack([sr, tr], axis=-2).reshape(batch + (n,))
+        bi = jnp.stack([si, ti], axis=-2).reshape(batch + (n,))
+        re, im = br, bi
+        l //= 2
+        m *= 2
+    return re, im
+
+
+def fft_ri(x):
+    """Forward FFT of a split array (..., 2, N) -> (..., 2, N)."""
+    n = x.shape[-1]
+    re, im = _stockham(x[..., 0, :], x[..., 1, :], n, -1.0)
+    return jnp.stack([re, im], axis=-2)
+
+
+def ifft_unnorm_ri(x):
+    """Unnormalised inverse FFT (matches cuFFT's inverse, i.e. N·ifft)."""
+    n = x.shape[-1]
+    re, im = _stockham(x[..., 0, :], -x[..., 1, :], n, -1.0)
+    return jnp.stack([re, -im], axis=-2)
+
+
+def rfft_ri(x_real):
+    """Real-input FFT: (..., N) f32 -> (..., 2, N//2+1) split spectrum.
+
+    Uses the packed two-for-one trick: treat even/odd samples as the
+    re/im of a length-N/2 complex FFT, then unpack.
+    """
+    n = x_real.shape[-1]
+    h = n // 2
+    ev = x_real[..., 0::2]
+    od = x_real[..., 1::2]
+    zr, zi = _stockham(ev, od, h, -1.0)
+
+    # unpack: X[k] = (Z[k]+conj(Z[h-k]))/2 - i/2 * e^{-2πik/n} (Z[k]-conj(Z[h-k]))
+    k = np.arange(h + 1)
+    wr = np.cos(-2 * np.pi * k / n).astype(np.float32)
+    wi = np.sin(-2 * np.pi * k / n).astype(np.float32)
+
+    idx = np.concatenate([np.arange(h), [0]])  # Z[k] for k=0..h with Z[h]=Z[0]
+    ridx = (h - k) % h  # conj(Z[h-k])
+    zkr, zki = zr[..., idx], zi[..., idx]
+    zcr, zci = zr[..., ridx], -zi[..., ridx]
+
+    er, ei = (zkr + zcr) * 0.5, (zki + zci) * 0.5
+    or_, oi = (zkr - zcr) * 0.5, (zki - zci) * 0.5
+    # multiply (or_, oi) by -i*w = (wi, -wr)... careful: -i*(wr+iwi) = wi - i*wr
+    mr, mi = cmul(or_, oi, wi, -wr)
+    return jnp.stack([er + mr, ei + mi], axis=-2)

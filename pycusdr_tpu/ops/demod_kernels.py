@@ -5,43 +5,54 @@ clipping and SNR.
 Each op mirrors one stage of the reference hot path (citations inline)
 but is written as pure, statically-shaped jnp so the whole block chain
 fuses into a single XLA graph with one host transfer per block.
+
+Complex tensors are carried split as a length-2 ``[re, im]`` axis of
+float32 (see ``ops.cfft``) — this TPU backend has no complex dtype, and
+split storage keeps the last (lane) axis at the transform length.
 """
 
 import jax
 import jax.numpy as jnp
 
+from pycusdr_tpu.ops.cfft import cmul, ifft_unnorm_ri, rfft_ri
 
-def threshold_input(sig: jnp.ndarray, scale: float):
+
+def threshold_input(sig_ri: jnp.ndarray, scale: float):
     """Two-pass interference spike clipping
     (reference demodulator_base.py:670-708, host-side there; device here).
 
-    Returns (clipped signal, bool mask of samples clipped in pass 2).
+    sig_ri: (2, N) split complex. Returns (clipped signal, bool mask of
+    samples clipped in pass 2).
     """
-    absS = jnp.abs(sig)
+    absS = jnp.sqrt(sig_ri[0] ** 2 + sig_ri[1] ** 2)
     thr = scale * jnp.mean(absS)
     hit1 = absS > thr
     safe = jnp.where(hit1, absS, 1.0)
-    sig1 = jnp.where(hit1, thr * sig / safe, sig)
+    g1 = jnp.where(hit1, thr / safe, 1.0)
+    sig1 = sig_ri * g1[None, :]
     abs1 = jnp.where(hit1, thr, absS)
 
     thr2 = scale * jnp.mean(abs1)
     hit2 = abs1 > thr2
     safe2 = jnp.where(hit2, abs1, 1.0)
-    sig2 = jnp.where(hit2, thr2 * sig1 / safe2, sig1)
-    return sig2, hit2
+    g2 = jnp.where(hit2, thr2 / safe2, 1.0)
+    return sig1 * g2[None, :], hit2
 
 
-def apply_best_doppler(S: jnp.ndarray, masks_f: jnp.ndarray, shift) -> jnp.ndarray:
+def apply_best_doppler(S_ri: jnp.ndarray, masks_ri: jnp.ndarray, shift) -> jnp.ndarray:
     """Lag-domain matched-filter bank at the winning Doppler shift.
 
     X[m] = IFFT_unnorm(S[(k+shift) mod N] * masks_f[m]) — parity with
     ``multInputVectorWithShiftedMask`` + batched cuFFT inverse
     (cuda_kernels.cu:174-185, demodulator_base.py:776-785).
+
+    S_ri: (2, N); masks_ri: (M, 2, N). Returns (M, 2, N).
     """
-    N = S.shape[0]
+    N = S_ri.shape[-1]
     idx = (jnp.arange(N, dtype=jnp.int32) + shift) % N
-    Sshift = jnp.take(S, idx, axis=0)
-    return jnp.fft.ifft(Sshift[None, :] * masks_f, axis=1) * N
+    Ss = jnp.take(S_ri, idx, axis=-1)  # (2, N)
+    pr, pi = cmul(Ss[0][None, :], Ss[1][None, :], masks_ri[:, 0], masks_ri[:, 1])
+    return ifft_unnorm_ri(jnp.stack([pr, pi], axis=-2))
 
 
 def find_code_rate_and_phase(P2: jnp.ndarray, idx_lo: int, idx_hi: int, Nfft: int,
@@ -57,13 +68,13 @@ def find_code_rate_and_phase(P2: jnp.ndarray, idx_lo: int, idx_hi: int, Nfft: in
     """
     M = P2.shape[0]
     power = jnp.sum(P2[mask_offset : M - mask_offset], axis=0)
-    R = jnp.fft.rfft(power)
-    band = R[idx_lo:idx_hi]
-    band_pow = band.real**2 + band.imag**2
+    R = rfft_ri(power)  # (2, N//2+1)
+    br = R[0, idx_lo:idx_hi]
+    bi = R[1, idx_lo:idx_hi]
+    band_pow = br * br + bi * bi
     k_rel = jnp.argmax(band_pow)
     val = band_pow[k_rel]
-    peak = band[k_rel]
-    phase = jnp.arctan2(peak.imag, peak.real)
+    phase = jnp.arctan2(bi[k_rel], br[k_rel])
 
     k = (idx_lo + k_rel).astype(jnp.float32)
     spSym = Nfft / k

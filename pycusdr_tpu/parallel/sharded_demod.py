@@ -26,6 +26,7 @@ from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from pycusdr_tpu.dsp.spec import DemodSpec
+from pycusdr_tpu.ops.cfft import c2ri, fft_ri, rfft_ri
 from pycusdr_tpu.ops.demod_kernels import (
     apply_best_doppler,
     compute_snr,
@@ -82,8 +83,9 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
                              master_idx: int = 0, master_weight: float = 1.2):
     """Return ``step(blocks) -> dict`` jitted over ``mesh``.
 
-    ``blocks``: (C, Nfft) complex64, channels sharded over the
-    ``channel`` axis (C must divide by mesh.shape['channel']).
+    ``blocks``: (C, 2, Nfft) float32 split complex (see ops/cfft.py),
+    channels sharded over the ``channel`` axis (C must divide by
+    mesh.shape['channel']).
     """
     nc = mesh.shape["channel"]
     nd = mesh.shape["dopp"]
@@ -108,8 +110,8 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
     )
     shift_idx_p = make_shift_gather_indices(N, shifts_p)  # (Dp, N)
 
-    masks_f = np.asarray(spec.masks_f, np.complex64)  # (M, N)
-    Q_T = (np.abs(masks_f) ** 2).T.astype(np.float32)  # (N, M)
+    masks_ri = c2ri(spec.masks_f)  # (M, 2, N) f32
+    Q_T = (np.abs(np.asarray(spec.masks_f, np.complex64)) ** 2).T.astype(np.float32)  # (N, M)
     off_m = spec.code_search_mask_offset
     w_mask = np.zeros(M, np.float32)
     w_mask[off_m : M - off_m] = 1.0
@@ -128,14 +130,14 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
     )
 
     def step(blocks, shift_idx_l, masks_l, w_mask_l, Q_T_r, hz_r, shifts_r, lut_r):
-        # blocks: local (Cl, N); shift_idx_l: (Dp/nd, N); masks_l: (Ml, N)
-        sig = blocks.astype(jnp.complex64)
+        # blocks: local (Cl, 2, N); shift_idx_l: (Dp/nd, N); masks_l: (Ml, 2, N)
+        sig = blocks.astype(jnp.float32)
         if not spec.disable_peak_thresholding:
-            sig, _ = jax.vmap(lambda s: threshold_input(s, spec.peak_threshold_scale))(sig)
-        S = jnp.fft.fft(sig, axis=1)  # (Cl, N)
+            sig = jax.vmap(lambda s: threshold_input(s, spec.peak_threshold_scale)[0])(sig)
+        S = fft_ri(sig)  # (Cl, 2, N)
 
         if spec.doppler_search:
-            Pw = (S.real**2 + S.imag**2).astype(jnp.float32)  # (Cl, N)
+            Pw = S[:, 0] ** 2 + S[:, 1] ** 2  # (Cl, N)
             Pshift = jnp.take(Pw, shift_idx_l, axis=1)  # (Cl, Dl, N)
             E_local = jax.lax.dot_general(
                 Pshift, Q_T_r,
@@ -152,7 +154,7 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
             sl = shifts_r[lowIdx].astype(jnp.float32)
             sh = shifts_r[highIdx].astype(jnp.float32)
             shift = jnp.round(sl + (sh - sl) * frac).astype(jnp.int32)  # (Cl,)
-            absS = jnp.abs(S)
+            absS = jnp.sqrt(Pw)
             snr_db = jax.vmap(
                 lambda a, lo, hi: compute_snr(a, lo, hi, spec.snr_window, N)
             )(absS, shifts_r[lowIdx], shifts_r[highIdx])
@@ -167,18 +169,20 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
 
         # --- demod with the mask bank sharded over "dopp" ---
         X = jax.vmap(lambda s, sh_: apply_best_doppler(s, masks_l, sh_))(S, shift)
-        P2 = (X.real**2 + X.imag**2).astype(jnp.float32)  # (Cl, Ml, N)
+        P2 = X[:, :, 0] ** 2 + X[:, :, 1] ** 2  # (Cl, Ml, N)
 
         power = jax.lax.psum(
             jnp.einsum("m,cmn->cn", w_mask_l, P2), "dopp"
         )  # (Cl, N) summed matched-filter power, all masks
 
-        R = jnp.fft.rfft(power, axis=1)
-        band = R[:, spec.code_idx_lo : spec.code_idx_hi]
-        band_pow = band.real**2 + band.imag**2
+        R = rfft_ri(power)  # (Cl, 2, N//2+1)
+        br = R[:, 0, spec.code_idx_lo : spec.code_idx_hi]
+        bi = R[:, 1, spec.code_idx_lo : spec.code_idx_hi]
+        band_pow = br * br + bi * bi
         k_rel = jnp.argmax(band_pow, axis=1)
-        peak = jnp.take_along_axis(band, k_rel[:, None], axis=1)[:, 0]
-        phase = jnp.arctan2(peak.imag, peak.real)
+        pr = jnp.take_along_axis(br, k_rel[:, None], axis=1)[:, 0]
+        pi = jnp.take_along_axis(bi, k_rel[:, None], axis=1)[:, 0]
+        phase = jnp.arctan2(pi, pr)
         kf = (spec.code_idx_lo + k_rel).astype(jnp.float32)
         spSym = N / kf
         codeOffset = -phase / jnp.pi * spSym / 2
@@ -249,10 +253,10 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
         step,
         mesh=mesh,
         in_specs=(
-            P("channel", None),   # blocks
-            P("dopp", None),      # shift gather map
-            P("dopp", None),      # mask bank
-            P("dopp"),            # mask weight vector
+            P("channel", None, None),   # blocks
+            P("dopp", None),            # shift gather map
+            P("dopp", None, None),      # mask bank
+            P("dopp"),                  # mask weight vector
             P(None, None),        # Q_T
             P(None),              # hz lut
             P(None),              # doppler shifts
@@ -264,14 +268,14 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
 
     dev_consts = (
         jnp.asarray(shift_idx_p),
-        jnp.asarray(masks_f),
+        jnp.asarray(masks_ri),
         jnp.asarray(w_mask),
         jnp.asarray(Q_T),
         jnp.asarray(hz_lut),
         jnp.asarray(dopp_shifts),
         jnp.asarray(bitLUT),
     )
-    blocks_sharding = NamedSharding(mesh, P("channel", None))
+    blocks_sharding = NamedSharding(mesh, P("channel", None, None))
 
     @jax.jit
     def run(blocks):

@@ -80,8 +80,10 @@ class TestJaxVsNumpyGolden:
     def results(self, fsk_block):
         spec, bits, sig = fsk_block
         ref = demod_block_numpy(spec, sig)
+        from pycusdr_tpu.ops.cfft import c2ri
+
         fn = build_process_block(spec)
-        jx = {k: np.asarray(v) for k, v in fn(sig).items()}
+        jx = {k: np.asarray(v) for k, v in fn(c2ri(sig)).items()}
         return spec, bits, ref, jx
 
     def test_energy_matrix(self, results):

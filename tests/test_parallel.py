@@ -14,6 +14,7 @@ from pycusdr_tpu.parallel import (
 )
 
 from conftest import make_fsk_signal
+from pycusdr_tpu.ops.cfft import c2ri
 
 
 @pytest.fixture(scope="module")
@@ -42,11 +43,11 @@ def test_sharded_step_matches_single_chip(tiny):
     step = build_sharded_demod_step(tiny, mesh)
     _, blocks = _fsk_blocks(tiny, 4)
 
-    res = step(blocks)
+    res = step(c2ri(blocks))
     single = build_process_block(tiny, jit=True)
 
     for c in range(4):
-        ref = {k: np.asarray(v) for k, v in single(blocks[c]).items()}
+        ref = {k: np.asarray(v) for k, v in single(c2ri(blocks[c])).items()}
         n = int(ref["nBits"])
         np.testing.assert_array_equal(
             np.asarray(res["bits"])[c, :n], ref["bits"][:n], err_msg=f"chan {c}"
@@ -76,16 +77,16 @@ def test_time_sharded_stream_matches_serial(tiny):
     offset = tiny.centreFreqOffset / tiny.sampleRate
     sig = make_fsk_signal(bits, int(tiny.spsym), offset, seed=9, noise_std=0.05)
 
-    carry = sig[:ov]
-    new = sig[ov : ov + hop * n_dev].reshape(n_dev, hop)
+    carry = c2ri(sig[:ov])
+    new = c2ri(sig[ov : ov + hop * n_dev].reshape(n_dev, hop))
 
     res, carry_out = stream(new, carry)
-    np.testing.assert_array_equal(np.asarray(carry_out), new[-1, hop - ov :])
+    np.testing.assert_array_equal(np.asarray(carry_out), new[-1, :, hop - ov :])
 
     single = build_process_block(tiny, jit=True)
     for t in range(n_dev):
         block = sig[t * hop : t * hop + N]
-        ref = {k: np.asarray(v) for k, v in single(block).items()}
+        ref = {k: np.asarray(v) for k, v in single(c2ri(block)).items()}
         n = int(ref["nBits"])
         np.testing.assert_array_equal(
             np.asarray(res["bits"])[t, :n], ref["bits"][:n], err_msg=f"block {t}"
