@@ -1,0 +1,87 @@
+"""Trust-weighted bit voting kernels.
+
+Semantics parity with the reference vote routines
+(``softCombiner.py:570-662``): bits whose trust is negative are
+disqualified; the master channel's vote is scaled by
+``masterVoteWeight`` so ties break its way; the 2-way vote resolves
+disagreements by trust with the reference's fixed trust constants.
+Both are fully vectorised (the reference's 2-way path loops in Python
+over every disagreeing bit).
+"""
+
+import numpy as np
+
+from pycusdr_tpu.globals import DATATYPE, TRUSTTYPE
+
+# trust codes for 2-way disagreements (reference softCombiner.py:40-43,
+# returned negated as the reference does)
+BOTH_TRUST_ERR = 0.1  # both trust their bit but disagree -> master wins
+MASTER_TRUST = 0.7  # slave disqualified -> master wins
+SLAVE_TRUST = 0.3  # master disqualified -> slave wins
+BOTH_DISTRUST = -1.0  # both disqualified
+
+
+def do_voteN(bitsM, trustM, bitsS, trustS, masterVoteWeight: float = 1.2):
+    """N-way weighted majority vote (reference ``_doVoteN``,
+    softCombiner.py:570-618).
+
+    bitsM/trustM: (n,) master arrays; bitsS/trustS: lists of (n,) slave
+    arrays. Returns (bits DATATYPE[n], trust float[n]) where trust
+    encodes ``votersAgreed + qualifiedVoters/10``.
+    """
+    bits = np.vstack([np.asarray(bitsM, float) * masterVoteWeight,
+                      np.asarray(bitsS, float)])
+    trust = np.vstack([trustM, np.asarray(trustS)])
+
+    qualified = trust >= 0
+    votes = np.where(qualified, bits, 0.0)
+
+    # threshold = half the total qualified vote weight, so a tie goes to
+    # the master and a strict weighted majority always wins. (The
+    # reference adds masterVoteWeight/2 ON TOP of counting the master as
+    # a full voter, softCombiner.py:599-600 — with 2 slaves that makes a
+    # wrong master unbeatable; this is the intended fix.)
+    weights = np.ones((bits.shape[0], 1))
+    weights[0, 0] = masterVoteWeight
+    threshold = (qualified * weights).sum(axis=0) / 2.0
+
+    bVal = votes.sum(axis=0)
+    bitsT = (bVal > threshold).astype(DATATYPE)
+
+    # trust = agreed.quorum: integer part counts qualified voters that
+    # agree with the outcome, fractional part encodes the quorum size
+    raw = np.vstack([bitsM, bitsS])
+    agreed = (qualified & (raw == bitsT[None, :])).sum(axis=0)
+    quorum = qualified.sum(axis=0)
+    trustT = agreed + quorum / 10.0
+    trustT[quorum == 0] = BOTH_DISTRUST
+    return bitsT, trustT
+
+
+def do_vote2(bitsM, trustM, bitsS, trustS):
+    """2-way vote, master favoured (reference ``_doVote2``,
+    softCombiner.py:623-662). Returns (bits, trust) with the trust
+    constants negated exactly like the reference (agreeing bits get
+    −1, resolved disagreements −0.1/−0.7/−0.3, double distrust +1).
+    """
+    bitsM = np.asarray(bitsM)
+    bitsS = np.asarray(bitsS)
+    trustM = np.asarray(trustM)
+    trustS = np.asarray(trustS)
+
+    agree = bitsM == bitsS
+    mq = trustM >= 0
+    sq = trustS >= 0
+
+    # master wins unless it is disqualified and the slave is not
+    use_slave = ~mq & sq
+    bitsV = np.where(use_slave, bitsS, bitsM).astype(DATATYPE)
+    bitsV = np.where(agree, bitsM, bitsV).astype(DATATYPE)
+
+    trustV = np.ones(len(bitsM))
+    both_distrust = ~agree & ~mq & (trustS < 0)
+    trustV = np.where(~agree & mq & ~sq, MASTER_TRUST, trustV)
+    trustV = np.where(~agree & mq & sq, BOTH_TRUST_ERR, trustV)
+    trustV = np.where(use_slave & ~agree, SLAVE_TRUST, trustV)
+    trustV = np.where(both_distrust, BOTH_DISTRUST, trustV)
+    return bitsV, -trustV

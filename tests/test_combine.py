@@ -1,0 +1,255 @@
+"""Diversity-combiner tests, modelled on the reference suite
+(test/test_trustProcessor/): Worker bookkeeping unit tests, vote kernel
+tests, and process-level tests through real ZMQ sockets with randomly
+delayed, corrupted multi-channel streams."""
+
+import time
+
+import numpy as np
+import pytest
+import zmq
+
+from pycusdr_tpu.combine import (
+    SoftCombiner,
+    Worker,
+    WorkerIdError,
+    do_vote2,
+    do_voteN,
+    xcorr_peak,
+)
+
+
+def wdict(workerId, bits, trust=None, count=0, voteGroup=0):
+    return {
+        "workerId": workerId,
+        "count": count,
+        "timestamp": time.time(),
+        "voteGroup": voteGroup,
+        "doppler": 0.0,
+        "doppler_std": 0.0,
+        "spSymEst": 16.0,
+        "SNR": 10.0,
+        "baudRate": 9600,
+        "protocol": "bench_FSK",
+        "data": np.asarray(bits, np.int8),
+        "trust": np.full(len(bits), 2, np.int8) if trust is None else np.asarray(trust, np.int8),
+    }
+
+
+def longest_match_run(a, b):
+    """Longest run of consecutive equal bits (reference consecutiveOne)."""
+    eq = np.asarray(a) == np.asarray(b)
+    best = cur = 0
+    for v in eq:
+        cur = cur + 1 if v else 0
+        best = max(best, cur)
+    return best
+
+
+class TestWorker:
+    def test_insert_and_get(self):
+        rng = np.random.RandomState(0)
+        bits = rng.randint(0, 2, 100)
+        w = Worker(wdict("A", bits))
+        d, t = w.getData()
+        np.testing.assert_array_equal(d, bits)
+        assert len(t) == 100
+
+        more = rng.randint(0, 2, 50)
+        w.insertData(wdict("A", more, count=1))
+        d, _ = w.getData()
+        assert len(d) == 150
+        np.testing.assert_array_equal(d[100:], more)
+
+    def test_wrong_id_rejected(self):
+        w = Worker(wdict("A", [1, 0, 1]))
+        with pytest.raises(WorkerIdError):
+            w.insertData(wdict("B", [1, 1]))
+
+    def test_own_head_cursor(self):
+        w = Worker(wdict("A", np.ones(40)))
+        out = w.getSelf()
+        assert len(out["data"]) == 40
+        out = w.getSelf()
+        assert len(out["data"]) == 0  # already served
+        w.insertData(wdict("A", np.zeros(10), count=1))
+        out = w.getSelf()
+        np.testing.assert_array_equal(out["data"], np.zeros(10))
+
+    def test_per_slave_cursors(self):
+        w = Worker(wdict("A", np.arange(20) % 2))
+        a = w.getSelf("peer1")
+        assert len(a["data"]) == 20
+        w.insertData(wdict("A", np.ones(5), count=1))
+        b = w.getSelf("peer1")
+        assert len(b["data"]) == 5
+        c = w.getSelf("peer2")  # fresh cursor sees everything
+        assert len(c["data"]) == 25
+
+    def test_update_idx_rollback(self):
+        w = Worker(wdict("A", np.ones(30)))
+        out = w.getSelf()
+        assert len(out["data"]) == 30
+        w.updateIdx(len(out["data"]), dataUsed=False)
+        again = w.getSelf()
+        assert len(again["data"]) == 30
+
+    def test_time_pruning(self):
+        w = Worker(wdict("A", np.ones(64)), timestampTimeOut=0.05)
+        time.sleep(0.1)
+        w.insertData(wdict("A", np.zeros(16), count=1))
+        w.removeOldData()
+        d, _ = w.getData()
+        assert len(d) == 16
+        np.testing.assert_array_equal(d, np.zeros(16))
+
+
+class TestVotes:
+    def test_vote2_agreement_and_resolution(self):
+        bitsM = np.array([1, 0, 1, 0, 1], np.int8)
+        bitsS = np.array([1, 0, 0, 1, 1], np.int8)
+        trustM = np.array([2, 2, 2, -1, -1], np.int8)
+        trustS = np.array([2, 2, -1, 2, 2], np.int8)
+        bits, trust = do_vote2(bitsM, trustM, bitsS, trustS)
+        # idx2: slave distrusts -> master bit; idx3: master distrusts -> slave bit
+        np.testing.assert_array_equal(bits, [1, 0, 1, 1, 1])
+        assert trust[0] == -1 and trust[1] == -1  # agreement
+        assert np.isclose(trust[2], -0.7)  # master trust
+        assert np.isclose(trust[3], -0.3)  # slave trust
+
+    def test_voteN_majority_corrects_errors(self):
+        rng = np.random.RandomState(1)
+        truth = rng.randint(0, 2, 2000).astype(np.int8)
+        streams = []
+        for i in range(3):
+            b = truth.copy()
+            flip = rng.rand(len(b)) < 0.02
+            b[flip] ^= 1
+            streams.append(b)
+        trust = np.full(len(truth), 2, np.int8)
+        bits, t = do_voteN(streams[0], trust, streams[1:], [trust] * 2)
+        ber = np.mean(bits != truth)
+        assert ber < 0.002, f"vote did not correct errors: BER {ber}"
+
+    def test_voteN_distrust_disqualifies(self):
+        truth = np.array([1, 1, 1, 1], np.int8)
+        bad = np.array([0, 0, 0, 0], np.int8)
+        good_t = np.full(4, 2, np.int8)
+        bad_t = np.full(4, -1, np.int8)
+        # two bad channels but disqualified -> truth wins
+        bits, _ = do_voteN(truth, good_t, [bad, bad], [bad_t, bad_t])
+        np.testing.assert_array_equal(bits, truth)
+
+
+class TestAligner:
+    def test_xcorr_finds_delay(self):
+        rng = np.random.RandomState(2)
+        truth = rng.randint(0, 2, 4000)
+        delay = 1234
+        stream = np.r_[rng.randint(0, 2, delay), truth]
+        lag, ok = xcorr_peak(stream, truth, 15.0)
+        assert ok
+        assert lag == delay
+
+    def test_random_bits_rejected(self):
+        rng = np.random.RandomState(3)
+        a = rng.randint(0, 2, 4000)
+        b = rng.randint(0, 2, 2000)
+        _, ok = xcorr_peak(a, b, 15.0)
+        assert not ok
+
+
+@pytest.fixture
+def combiner_conf(bench_conf):
+    conf = {k: v for k, v in bench_conf.items()}
+    conf["SoftCombiner"] = dict(bench_conf["SoftCombiner"], processingInterval=0.15)
+    conf["Interfaces"] = {
+        "Internal": {
+            "demodIn": "tcp://*:21003",
+            "demodOut": "tcp://localhost:21003",
+            "decodeOut": "tcp://localhost:21004",
+            "decodeIn": "tcp://*:21004",
+        }
+    }
+    return conf
+
+
+class TestSoftCombinerProcess:
+    """Process-level tests through real ZMQ sockets (reference
+    test_softCombiner.py pattern): N logical channels are N streams
+    into one combiner, no radios or TPUs needed."""
+
+    def _run_streams(self, conf, streams, n_blocks=6, voteGroup=0):
+        ctx = zmq.Context()
+        out = ctx.socket(zmq.PUSH)
+        out.connect(conf["Interfaces"]["Internal"]["demodOut"])
+        sink = ctx.socket(zmq.PULL)
+        sink.bind(conf["Interfaces"]["Internal"]["decodeIn"])
+        sink.setsockopt(zmq.RCVTIMEO, 3000)
+
+        comb = SoftCombiner(conf)
+        comb.start()
+        try:
+            time.sleep(0.8)  # let sockets bind
+            blocks = {k: np.array_split(v, n_blocks) for k, v in streams.items()}
+            for i in range(n_blocks):
+                for wid, chunks in blocks.items():
+                    out.send_pyobj(wdict(wid, chunks[i], count=i, voteGroup=voteGroup))
+                time.sleep(0.2)
+
+            results = {}
+            deadline = time.time() + 6
+            while time.time() < deadline:
+                try:
+                    d = sink.recv_pyobj()
+                except zmq.error.Again:
+                    break
+                results.setdefault(d["workerId"], []).append(d)
+                got = {k: sum(len(x["data"]) for x in v) for k, v in results.items()}
+                if len(results) == len(streams) and all(
+                    n > len(streams[k]) * 0.5 for k, n in got.items()
+                ):
+                    break
+            return results
+        finally:
+            comb.stop()
+            comb.join(timeout=5)
+            if comb.is_alive():
+                comb.terminate()
+            out.close()
+            sink.close()
+            ctx.term()
+
+    def test_single_channel_passthrough(self, combiner_conf):
+        rng = np.random.RandomState(5)
+        truth = rng.randint(0, 2, 6000).astype(np.int8)
+        res = self._run_streams(combiner_conf, {"chan0": truth})
+        assert "chan0" in res
+        got = np.concatenate([d["data"] for d in res["chan0"]])
+        assert longest_match_run(got[: len(truth)], truth[: len(got)]) > 2000
+
+    def test_three_channel_vote_corrects_corruption(self, combiner_conf):
+        rng = np.random.RandomState(6)
+        truth = rng.randint(0, 2, 9000).astype(np.int8)
+        streams = {}
+        for i in range(3):
+            delay = rng.randint(1000, 2000)
+            b = np.r_[rng.randint(0, 2, delay), truth].astype(np.int8)
+            flip = rng.rand(len(b)) < 0.01
+            b[flip] ^= 1
+            streams[f"chan{i}"] = b
+        res = self._run_streams(combiner_conf, streams)
+        assert res, "no combiner output"
+        # at least one master stream must have been voted (numSlaves>0)
+        voted = [d for v in res.values() for d in v if d.get("numSlaves", 0) > 0]
+        assert voted, "no voting happened"
+        # a voted chunk must align with truth with long clean runs
+        best = 0
+        for d in voted:
+            bits = np.asarray(d["data"], np.int8)
+            lag, ok = xcorr_peak(np.r_[truth, np.zeros(4000, np.int8)], bits, 10.0)
+            if not ok:
+                continue
+            seg = truth[lag : lag + len(bits)]
+            best = max(best, longest_match_run(bits[: len(seg)], seg))
+        assert best > 1500, f"voted stream does not match truth (best run {best})"
