@@ -1,0 +1,4 @@
+from pycusdr_tpu.runtime.cli import main
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -28,6 +28,27 @@ TRUSTTYPE = np.int8
 DATATYPE = np.int8
 
 TRUST_NORMAL_SCALE = 2
+
+
+def apply_platform_override():
+    """Honour the ``PYCUSDR_JAX_PLATFORM`` env var (e.g. ``cpu``).
+
+    Some deployment images pin the JAX platform via ``jax.config`` in a
+    ``sitecustomize`` hook, which an env-level ``JAX_PLATFORMS`` cannot
+    override — only a later ``jax.config.update`` can. Spawned worker
+    processes (runtime/demodulator_process.py) call this before their
+    first device use so tests and CPU deployments can force a backend.
+    """
+    import os
+
+    plat = os.environ.get("PYCUSDR_JAX_PLATFORM")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception as e:  # backend already initialized: keep going
+            log.warning("could not apply platform override %r: %s", plat, e)
 TRUST_SYMBOL_ERROR = -1
 TRUST_CLIPPED = -2
 

@@ -1,0 +1,217 @@
+"""The orchestrator: wire up and supervise the whole modem.
+
+Capability parity with the reference ``PyCuSDR`` class
+(``pyCuSDR/pyCuSDR.py:44-346``): modular-JSON config load, per-name
+protocol instantiation, modulators / softCombiner / demodulators /
+decoder / RPC construction (with the softCombiner bypass rewiring
+``decodeIn = demodIn`` when disabled or single-radio), a watchdog
+``is_alive`` that ends the run when any process dies or every
+demodulator lost its sample feed, and an ordered shutdown that collects
+the decoder's stats for post-pass plots.
+"""
+
+import logging
+import sys
+import time
+
+from pycusdr_tpu import __version__
+from pycusdr_tpu.config.loader import load_modular_json
+from pycusdr_tpu.globals import LOG_NAME
+from pycusdr_tpu.protocol import loadProtocol
+from pycusdr_tpu.utils.graceful import GracefulKiller
+from pycusdr_tpu.utils.logger import logger_setup
+
+log = logging.getLogger(LOG_NAME + "." + __name__)
+
+
+class PyCuSDR:
+    """Top-level API: ``PyCuSDR(configFile, args).start() / run()``."""
+
+    def __init__(self, config_file_name, args=None):
+        self.start_time = time.time()
+        self.args = args
+        if isinstance(config_file_name, dict):
+            self.configFile = config_file_name
+        else:
+            log.info("Loading configuration from %s", config_file_name)
+            self.configFile = load_modular_json(config_file_name)
+
+        self._init_logging()
+        log.info("Starting pycusdr_tpu %s", __version__)
+
+        self._init_protocols()
+        self.radios = self.configFile["Radios"]["Rx"].keys()
+        self._init_SDR()
+        self._running = False
+        self.killer = None
+
+    # ---------------- lifecycle ----------------
+
+    def start(self):
+        self._running = True
+        for t in self.tasks:
+            t.start()
+        self.killer = GracefulKiller()
+
+    def is_alive(self):
+        """False when killed, every demod timed out, or a process died."""
+        if self.killer is not None and self.killer.kill_now:
+            log.debug("killed")
+            return False
+        demodTimeouts = sum(1 for d in self._demodulators if d.GRCTimeout())
+        if self._demodulators and demodTimeouts == len(self._demodulators):
+            log.debug("all demodulators timed out")
+            return False
+        for t in self.tasks:
+            time.sleep(0.1)
+            if not t.is_alive():
+                raise Exception(f"Process {t.name} died unexpectedly -- shutting down")
+        return True
+
+    def run(self):
+        try:
+            self.start()
+            while self.is_alive():
+                time.sleep(0.1)
+        except SystemExit:
+            log.error("SYSTEMEXIT")
+        except Exception as e:
+            log.error("Error in process")
+            log.exception(e)
+        finally:
+            self.terminate()
+
+    def terminate(self):
+        self._shutdown()
+
+    def shutdown_tasks(self):
+        """Hook run during shutdown, before force-terminating: collect
+        the decoder stats and write post-pass analytics."""
+        self._running = False
+        try:
+            plotData = self.dec.getVisualData()
+            if plotData:
+                from pycusdr_tpu.obs import stats
+
+                saveLoc = stats.processData(self.configFile, plotData, self.start_time)
+                log.info("Saved pass stats to %s", saveLoc)
+        except Exception as e:
+            log.error("could not generate stats")
+            log.exception(e)
+
+    def _shutdown(self):
+        log.info("Shutting down")
+        for t in self.tasks:
+            t.stop()
+        self.shutdown_tasks()
+        if self.rpcInt is not None:
+            self.rpcInt.terminate()
+
+        TIMEOUT = 5
+        start = time.time()
+        while time.time() - start <= TIMEOUT:
+            if any(t.is_alive() for t in self.tasks):
+                time.sleep(0.1)
+            else:
+                break
+        for t in self.tasks:
+            t.terminate()
+            t.join()
+        if self.rpcInt is not None:
+            self.rpcInt.join()
+        log.info("Finished -- Bye")
+        from pycusdr_tpu.utils.logger import shutdown_logging
+
+        shutdown_logging()
+
+    # ---------------- construction ----------------
+
+    def _init_SDR(self):
+        from pycusdr_tpu.combine import SoftCombiner
+        from pycusdr_tpu.runtime.decoder_process import Decoder
+        from pycusdr_tpu.runtime.demodulator_process import Demodulator_process
+        from pycusdr_tpu.runtime.modulator_process import Modulator_process
+
+        try:
+            log.info("Utilizing %d channels: %s", len(self.radios), ", ".join(self.radios))
+            self.tasks = tasks = []
+
+            # Tx modulators (one per Tx radio, protocol from config)
+            self._modulators = []
+            if "Tx" in self.configFile["Radios"]:
+                for m in self.configFile["Radios"]["Tx"].keys():
+                    modProtocol = self.configFile["Radios"]["Tx"][m]["Protocol"]
+                    self._modulators.append(
+                        Modulator_process(self.configFile, self.protocols[modProtocol], m)
+                    )
+                tasks.extend(self._modulators)
+            else:
+                log.warning("Modulator not initialized ('Tx' not in config)")
+
+            # softCombiner, or bypass rewiring decodeIn = demodIn
+            softCombinerEnabled = self.configFile["Main"].get("softCombiner_enabled", False)
+            if softCombinerEnabled and len(self.radios) > 1:
+                combProc = SoftCombiner(self.configFile)
+                tasks.append(combProc)
+                log.info("SoftCombiner initialized.")
+            else:
+                self.configFile["Interfaces"]["Internal"]["decodeIn"] = \
+                    self.configFile["Interfaces"]["Internal"]["demodIn"]
+                combProc = None
+                log.info("SoftCombiner not started. Sending bits directly to decoder")
+            self.combiner = combProc
+
+            # Rx demodulators
+            self._demodulators = []
+            for radio in self.radios:
+                protocolName = self.configFile["Radios"]["Rx"][radio]["Protocol"]
+                self._demodulators.append(
+                    Demodulator_process(self.configFile, self.protocols[protocolName], radio)
+                )
+            tasks.extend(self._demodulators)
+
+            # decoder (kept as attribute: stats are fetched at shutdown)
+            self.dec = Decoder(self.configFile, self.protocols)
+            tasks.append(self.dec)
+
+            # control plane
+            if self.configFile.get("RPC", {}).get("enabled", True):
+                from pycusdr_tpu.control.rpc import RpcInterface
+
+                self.rpcInt = RpcInterface(
+                    self.configFile, self._modulators, self._demodulators, combProc
+                )
+            else:
+                self.rpcInt = None
+        except Exception as e:
+            log.error("Fatal error while initializing:")
+            log.exception(e)
+            sys.exit(-1)
+
+    def _init_logging(self):
+        v = getattr(self.args, "v", 0) if self.args is not None else 0
+        logLevel = max(1, 30 - v * 10)
+        fileName = self.configFile.get("Main", {}).get("logFile")
+        logger_setup(fileName=fileName, logLevel=logLevel)
+        self.log = logging.getLogger(LOG_NAME)
+
+    def _init_protocols(self):
+        main = self.configFile["Main"]
+        if "protocols" not in main:
+            raise KeyError('"protocols" not defined in "Main"')
+        self.protocols = {}
+        self.protocolNamesDict = {}
+        for pName, implName in main["protocols"].items():
+            self.protocolNamesDict[pName] = implName
+            self.protocols[pName] = loadProtocol(implName)(conf=self.configFile)
+        log.info("Found protocols %s", self.protocolNamesDict)
+
+    # ---------------- getters ----------------
+
+    @property
+    def demodulators(self):
+        return self._demodulators
+
+    @property
+    def modulators(self):
+        return self._modulators

@@ -1,0 +1,198 @@
+"""Runtime/process-layer tests: ring buffer + FIFO units, the full
+orchestrator end-to-end over real ZMQ (PUB IQ in -> decoded bytes out,
+the in-process equivalent of the reference bench_modem driver), the
+XML-RPC control plane, the hamlib rig server, and the config system."""
+
+import os
+import socket
+import time
+import xmlrpc.client
+
+import numpy as np
+import pytest
+import zmq
+
+from pycusdr_tpu.runtime.sigfifo import RingBuffer
+from pycusdr_tpu.config.loader import load_modular_json, merge_configs
+
+CONF_DIR = os.path.join(os.path.dirname(__file__), "..", "pycusdr_tpu", "config", "configs")
+
+
+class TestRingBuffer:
+    def test_reblocking(self):
+        rb = RingBuffer(100, bufLen=1000)
+        data = np.arange(250).astype(np.complex64)
+        rb.insert(data[:130])
+        assert rb.popBlock(100).tolist() == data[:100].tolist()
+        assert rb.popBlock(100) == []  # only 30 left
+        rb.insert(data[130:])
+        out = rb.popBlock(100)
+        assert out.tolist() == data[100:200].tolist()
+
+    def test_wraparound(self):
+        rb = RingBuffer(64, bufLen=100)
+        for start in range(0, 640, 64):
+            rb.insert(np.arange(start, start + 64).astype(np.complex64))
+            out = rb.popBlock(64)
+            assert out.tolist() == list(range(start, start + 64))
+
+    def test_overflow_flushes(self):
+        rb = RingBuffer(10, bufLen=20)
+        rb.insert(np.zeros(15, np.complex64))
+        rb.insert(np.ones(15, np.complex64))  # overflow -> flush then insert
+        assert rb.currentBufSize == 15
+        assert rb.popBlock(10).tolist() == [1] * 10
+
+
+class TestConfigSystem:
+    def test_shipped_configs_load(self):
+        for name in ["base.json", "CC11xx.json",
+                     os.path.join("benchmark", "bench_base.json"),
+                     os.path.join("benchmark", "bench_FSK.json"),
+                     os.path.join("benchmark", "bench_3_chan_rx.json")]:
+            conf = load_modular_json(os.path.join(CONF_DIR, name))
+            assert "Interfaces" in conf, name
+
+    def test_configbase_chaining_and_override(self):
+        conf = load_modular_json(os.path.join(CONF_DIR, "benchmark", "bench_GFSK.json"))
+        # from bench_GFSK.json
+        assert conf["Main"]["workerId"] == "bench_GFSK"
+        assert conf["Main"]["protocols"]["UHF"] == "bench_GFSK"
+        # from bench_base.json (overrides base.json's 16)
+        assert conf["GPU"]["UHF"]["blockSize"] == 15
+        # from base.json
+        assert conf["SoftCombiner"]["masterVoteWeight"] == 1.2
+
+    def test_deep_merge(self):
+        a = {"x": {"y": 1, "z": 2}, "k": 1}
+        b = {"x": {"y": 10}}
+        m = merge_configs(a, b)
+        assert m["x"] == {"y": 10, "z": 2} and m["k"] == 1
+
+
+@pytest.fixture(scope="module")
+def modem_conf():
+    conf = load_modular_json(os.path.join(CONF_DIR, "benchmark", "bench_FSK.json"))
+    conf["Main"]["workerId"] = "rt"
+    conf["Main"]["PacketLen"] = 1000
+    conf["GPU"]["UHF"]["blockSize"] = 13
+    conf["GPU"]["UHF"]["overlap"] = 10
+    conf["Radios"]["Rx"]["UHF-H"]["doppCarrierSteps"] = 16
+    conf["Radios"]["Rx"]["UHF-H"]["Interfaces"] = {
+        "RxInPort": "tcp://127.0.0.1:23560",
+        "demodOut": "tcp://localhost:23003",
+    }
+    conf["Demodulator"] = {"timeoutSeconds": 60}
+    conf["Interfaces"]["Internal"].update({
+        "demodIn": "tcp://*:23003",
+        "demodOut": "tcp://localhost:23003",
+        "decodeOut": "tcp://localhost:23004",
+        "decodeIn": "tcp://*:23004",
+    })
+    conf["Interfaces"]["External"]["decodeBytesOut_ZMQ"] = {"UHF": "tcp://*:23512"}
+    conf["Interfaces"]["External"]["XMLRpcIn"] = "127.0.0.1:23851"
+    conf["decoder"] = dict(conf.get("decoder", {}), statsPort=23901)
+    return conf
+
+
+def test_orchestrator_end_to_end(modem_conf):
+    """PUB IQ samples -> demod process (spawned, jitted) -> decoder ->
+    decoded packet bytes on the external ZMQ port; RPC answers live."""
+    os.environ["PYCUSDR_JAX_PLATFORM"] = "cpu"  # inherited by the child
+    from pycusdr_tpu.dsp.signal_gen import get_padded_packet, packet_data
+    from pycusdr_tpu.runtime.orchestrator import PyCuSDR
+
+    bits = packet_data(1000, 123)
+    fs = 9600 * 16
+    sig, _ = get_padded_packet("FSK", 16, fs, offset_freq=38400, raw_bits=bits, pad=6000)
+    sig = sig.astype(np.complex64)
+
+    ctx = zmq.Context()
+    pub = ctx.socket(zmq.PUB)
+    pub.bind("tcp://127.0.0.1:23560")
+    sink = ctx.socket(zmq.PULL)
+    sink.connect("tcp://localhost:23512")
+    sink.setsockopt(zmq.RCVTIMEO, 2000)
+
+    sdr = PyCuSDR(dict(modem_conf), args=None)
+    sdr.start()
+    try:
+        # wait for the spawned demod child to come up + compile
+        deadline = time.time() + 90
+        while time.time() < deadline and not all(d.is_alive() for d in sdr.demodulators):
+            time.sleep(0.2)
+        time.sleep(5.0)
+
+        step = 2**13 - 2**10
+        stream = np.r_[sig, np.zeros(6 * step, np.complex64)]
+        payload = None
+        for rep in range(15):  # re-send until the pipeline is warm
+            for pos in range(0, len(stream) - step, step):
+                pub.send(stream[pos : pos + step].tobytes())
+                time.sleep(0.02)
+            try:
+                payload = sink.recv()
+                break
+            except zmq.error.Again:
+                continue
+        assert payload is not None, "no decoded packet emerged from the modem"
+
+        protocol = sdr.protocols["UHF"]
+        expected = bytes(bytearray(protocol.Packet(bits).getBinaryData()[0]))
+        assert payload == expected, "decoded payload differs from ground truth"
+
+        # control plane answers while running
+        rpc = xmlrpc.client.ServerProxy("http://127.0.0.1:23851/RPC2")
+        assert rpc.get_Rx_antenna_name(0) == "rt-UHF"
+        snr = rpc.get_Rx_SNR(0)
+        assert isinstance(snr, float)
+        rpc.set_Tx_rangerate(1234.5)
+    finally:
+        try:
+            sdr.terminate()
+        except Exception:
+            pass
+        pub.close()
+        sink.close()
+        ctx.term()
+
+
+class TestRigServer:
+    def test_gpredict_steering(self):
+        from pycusdr_tpu.control.dummy_radios import DummyRadio
+        from pycusdr_tpu.control.rig_server import Rig_listener
+
+        rx, tx = DummyRadio(437e6), DummyRadio(437e6)
+        lst = Rig_listener("127.0.0.1", 24532, [rx], [tx])
+        lst.start()
+        time.sleep(0.3)
+
+        s = socket.create_connection(("127.0.0.1", 24532), timeout=2)
+        f = s.makefile("rwb")
+
+        def cmd(c):
+            f.write(c + b"\n")
+            f.flush()
+            return f.readline().strip()
+
+        # chk_vfo handshake
+        assert cmd(b"\\chk_vfo") == b"CHKVFO 0"
+        # set_freq with a +10 kHz Doppler -> rangerate updates
+        assert cmd(b"F 437010000") == b"RPRT 0"
+        time.sleep(0.1)
+        assert abs(rx.rangerate - 10000 / 437e6 * 299792458.0) < 10
+        # get_freq echoes the steered frequency
+        freq = float(cmd(b"f"))
+        assert abs(freq - 437010000) < 1000
+        s.close()
+        lst.terminate()
+
+
+def test_packet_hist_dedup():
+    from pycusdr_tpu.decode.packet_hist import PacketHist
+
+    h = PacketHist(maxLen=10, timeout=5.0)
+    payload = np.arange(32, dtype=np.uint8)
+    assert h.checkHash(payload)
+    assert not h.checkHash(payload)  # duplicate
+    assert h.checkHash(payload + 1)  # different content
