@@ -21,11 +21,19 @@ class PacketHist:
         if len(self._hashes) > self.maxLen:
             self._hashes = self._hashes[-self.maxLen :]
 
-    def checkHash(self, payload) -> bool:
-        """True if this payload is NEW (not seen within the timeout)."""
+    def checkHash(self, payload, numWorkers: int = 1) -> bool:
+        """True if this payload is NEW (not seen within the timeout).
+
+        With a single channel there is nothing to dedup (every copy is a
+        genuine retransmission) — record and accept, matching the
+        reference's numWorkers==1 shortcut (decoder_process.py:533-537).
+        """
         now = time.time()
         self._prune(now)
         h = hashlib.md5(bytes(bytearray(payload))).hexdigest()
+        if numWorkers == 1:
+            self._hashes.append((h, now))
+            return True
         for hh, _ in self._hashes:
             if hh == h:
                 return False

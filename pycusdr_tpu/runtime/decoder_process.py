@@ -159,7 +159,7 @@ class Decoder(Process):
 
                         if noError > -1:
                             newPacket = (len(correctBytes) > 0
-                                         and hashHist.checkHash(correctBytes))
+                                         and hashHist.checkHash(correctBytes, len(decoders)))
                         else:
                             newPacket = True  # forward failed packets anyway
                         if newPacket:

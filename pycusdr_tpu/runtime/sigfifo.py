@@ -40,6 +40,12 @@ class RingBuffer:
             log.error("wrong datatype, expected %s", self.dtype)
             data = data.astype(self.dtype)
         N = len(data)
+        if N > self.bufLen:
+            # network chunk bigger than the whole ring: keep the newest
+            # samples (real-time stream -- old data is worthless)
+            log.error("chunk of %d > buffer %d: keeping tail", N, self.bufLen)
+            data = data[-self.bufLen :]
+            N = self.bufLen
         if self.currentBufSize + N > self.bufLen:
             log.error("buffer full: flush")
             self.flush()
@@ -103,7 +109,9 @@ class SigFIFO:
             log.error("Exception connecting to RX socket:")
             log.exception(e)
 
-        self.buf = RingBuffer(self.blockSize, bufLen=self.blockSize * 2, dtype=dtype)
+        # 4 hops of headroom (the reference uses 2; a little more slack
+        # tolerates scheduling jitter without changing semantics)
+        self.buf = RingBuffer(self.blockSize, bufLen=self.blockSize * 4, dtype=dtype)
         self.timeOut_ms = timeOut_ms
         self.exitOnTimeout = exitOnTimeout
         self.raiseExceptionOnTimeout = enableTimeoutException

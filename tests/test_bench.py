@@ -1,0 +1,28 @@
+"""BER harness test: one-point sweep through the full in-process modem
+(the acceptance-benchmark machinery, reference examples/benchmark)."""
+
+import os
+
+import numpy as np
+
+
+def test_ber_sweep_clean_snr():
+    os.environ["PYCUSDR_JAX_PLATFORM"] = "cpu"
+    from pycusdr_tpu.bench.ber import run_ber_sweep
+
+    res = run_ber_sweep(
+        "FSK", nRuns=3, snrs=[18.0], packetLen=1000, blockSize=13,
+        basePort=27560, fsSimFactor=2.0, settle=8.0,
+    )
+    assert res["numPackets"][0] >= 2, f"too few packets: {res['numPackets']}"
+    assert res["BER"][0] < 0.01, f"BER too high: {res['BER']}"
+    # Eb/N0 accounting: FSK bw = 3*baud -> +4.77 dB
+    assert abs(res["EBN0"][0] - (18.0 + 10 * np.log10(3.0))) < 0.01
+
+
+def test_modulation_bandwidths():
+    from pycusdr_tpu.bench.ber import modulation_bandwidth
+
+    assert modulation_bandwidth("FSK", 9600) == 2 * 9600 + 9600
+    assert modulation_bandwidth("BPSK", 9600) == 9600 * 1.5
+    assert abs(modulation_bandwidth("GMSK", 9600) - 9600 / 0.7) < 1e-9

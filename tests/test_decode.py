@@ -94,9 +94,9 @@ class TestPacketHist:
     def test_dedup(self):
         ph = PacketHist(maxLen=10, timeout=10)
         p = np.array([1, 2, 3], dtype=np.uint8)
-        assert ph.checkHash(p)
-        assert not ph.checkHash(p)
-        assert ph.checkHash(np.array([1, 2, 4], dtype=np.uint8))
+        assert ph.checkHash(p, numWorkers=2)
+        assert not ph.checkHash(p, numWorkers=2)
+        assert ph.checkHash(np.array([1, 2, 4], dtype=np.uint8), numWorkers=2)
 
     def test_timeout_allows_repeat(self):
         ph = PacketHist(maxLen=10, timeout=0.0)

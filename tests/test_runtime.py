@@ -193,6 +193,9 @@ def test_packet_hist_dedup():
 
     h = PacketHist(maxLen=10, timeout=5.0)
     payload = np.arange(32, dtype=np.uint8)
-    assert h.checkHash(payload)
-    assert not h.checkHash(payload)  # duplicate
-    assert h.checkHash(payload + 1)  # different content
+    assert h.checkHash(payload, numWorkers=2)
+    assert not h.checkHash(payload, numWorkers=2)  # duplicate across channels
+    assert h.checkHash(payload + 1, numWorkers=2)  # different content
+    # single channel: every copy is a genuine retransmission
+    h1 = PacketHist(maxLen=10, timeout=5.0)
+    assert h1.checkHash(payload) and h1.checkHash(payload)
