@@ -28,14 +28,11 @@ log = logging.getLogger("pycusdr_tpu." + __name__)
 def _correlate_pm1(bits: np.ndarray, mask_pm1: np.ndarray) -> np.ndarray:
     """np.convolve(bits, mask) — mask is ±1 and already flipped."""
     try:
-        from pycusdr_tpu.runtime.native import bit_correlate
+        from pycusdr_tpu.native import bit_correlate
 
-        res = bit_correlate(bits, mask_pm1)
-        if res is not None:
-            return res
+        return bit_correlate(bits, mask_pm1)
     except Exception:  # pragma: no cover - native lib optional
-        pass
-    return np.convolve(bits.astype(np.float64), mask_pm1)
+        return np.convolve(bits.astype(np.float64), mask_pm1)
 
 
 class Decoder:

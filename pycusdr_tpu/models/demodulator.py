@@ -51,6 +51,11 @@ class Demodulator:
         self.voteWeight = self.spec.voteWeight
 
         self._process_block = build_process_block(self.spec, jit=jit)
+        try:
+            from pycusdr_tpu.native import c2ri_native as _c2ri
+        except Exception:
+            _c2ri = c2ri
+        self._c2ri = _c2ri
         self._signal_buffer = np.zeros(self.Nfft, dtype=np.complex64)
         self._last = None  # device results of the current block
 
@@ -87,8 +92,9 @@ class Demodulator:
             samples = self._signal_buffer
         samples = np.ascontiguousarray(samples, dtype=np.complex64)
         # host boundary: complex64 -> split (2, N) float32 (the device
-        # graph is complex-free; see ops/cfft.py)
-        res = self._process_block(c2ri(samples))
+        # graph is complex-free; see ops/cfft.py). Native deinterleave
+        # when the C++ library is built, numpy otherwise.
+        res = self._process_block(self._c2ri(samples))
         # one bundled device->host transfer
         self._last = {k: np.asarray(v) for k, v in res.items()}
         r = self._last

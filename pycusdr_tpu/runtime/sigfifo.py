@@ -110,8 +110,19 @@ class SigFIFO:
             log.exception(e)
 
         # 4 hops of headroom (the reference uses 2; a little more slack
-        # tolerates scheduling jitter without changing semantics)
-        self.buf = RingBuffer(self.blockSize, bufLen=self.blockSize * 4, dtype=dtype)
+        # tolerates scheduling jitter without changing semantics).
+        # The C++ ring buffer is preferred when built (native/).
+        self.buf = None
+        if dtype == np.complex64:
+            try:
+                from pycusdr_tpu.native import AVAILABLE, NativeRingBuffer
+
+                if AVAILABLE:
+                    self.buf = NativeRingBuffer(self.blockSize, bufLen=self.blockSize * 4)
+            except Exception as e:
+                log.debug("native ring buffer unavailable: %s", e)
+        if self.buf is None:
+            self.buf = RingBuffer(self.blockSize, bufLen=self.blockSize * 4, dtype=dtype)
         self.timeOut_ms = timeOut_ms
         self.exitOnTimeout = exitOnTimeout
         self.raiseExceptionOnTimeout = enableTimeoutException
