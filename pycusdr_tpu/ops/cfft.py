@@ -65,6 +65,66 @@ def _twiddles(n: int, sign: float):
     return out
 
 
+@lru_cache(maxsize=None)
+def _four_step_consts(n: int, sign: float):
+    """Constants for the four-step (Cooley-Tukey N1xN2) matmul FFT.
+
+    Returns (N1, N2, W1 (re, im) [k1, n1], T (re, im) [k1, n2],
+    W2 (re, im) [k2, n2]) as float32 numpy, cached per length."""
+    p = n.bit_length() - 1
+    n1 = 1 << (p // 2)
+    n2 = n // n1
+    k1, nn1 = np.meshgrid(np.arange(n1), np.arange(n1), indexing="ij")
+    W1 = np.exp(sign * 2j * np.pi * k1 * nn1 / n1)
+    k1g, n2g = np.meshgrid(np.arange(n1), np.arange(n2), indexing="ij")
+    T = np.exp(sign * 2j * np.pi * k1g * n2g / n)
+    k2, nn2 = np.meshgrid(np.arange(n2), np.arange(n2), indexing="ij")
+    W2 = np.exp(sign * 2j * np.pi * k2 * nn2 / n2)
+    f = np.float32
+    return (n1, n2,
+            (W1.real.astype(f), W1.imag.astype(f)),
+            (T.real.astype(f), T.imag.astype(f)),
+            (W2.real.astype(f), W2.imag.astype(f)))
+
+
+def _four_step(re, im, n: int, sign: float):
+    """Four-step FFT over the last axis: two N1/N2-point DFT stages as
+    MXU matmuls plus an elementwise twiddle — the TPU-native evaluation
+    (dense DFT factors keep the systolic array busy instead of 17
+    memory-bound VPU butterfly passes).
+
+    X[N1*k2 + k1] = sum_{n2} W_N^{n2 k1} W_{N2}^{n2 k2}
+                    * sum_{n1} x[N2*n1 + n2] W_{N1}^{n1 k1}
+    """
+    n1, n2, (w1r, w1i), (tr, ti), (w2r, w2i) = _four_step_consts(n, sign)
+    batch = re.shape[:-1]
+    xr = re.reshape(batch + (n1, n2))
+    xi = im.reshape(batch + (n1, n2))
+
+    def mm(a, b):  # (k, c) x (..., c, m) -> (..., k, m)
+        return jnp.einsum("kc,...cm->...km", a, b,
+                          preferred_element_type=jnp.float32)
+
+    # stage 1: DFT over n1 -> A[k1, n2]
+    ar = mm(w1r, xr) - mm(w1i, xi)
+    ai = mm(w1r, xi) + mm(w1i, xr)
+    # twiddle
+    br, bi = cmul(ar, ai, tr, ti)
+    # stage 2: DFT over n2 -> C[k2, k1]; output index k = N1*k2 + k1
+    cr = (jnp.einsum("kc,...mc->...km", w2r, br, preferred_element_type=jnp.float32)
+          - jnp.einsum("kc,...mc->...km", w2i, bi, preferred_element_type=jnp.float32))
+    ci = (jnp.einsum("kc,...mc->...km", w2r, bi, preferred_element_type=jnp.float32)
+          + jnp.einsum("kc,...mc->...km", w2i, br, preferred_element_type=jnp.float32))
+    return cr.reshape(batch + (n,)), ci.reshape(batch + (n,))
+
+
+# Below this length the O(N^2/sqrt(N)) matmul flops beat HBM-bound
+# butterflies; above it the Stockham path would win on flops but lose
+# badly on memory traffic. 2^18 keeps the DFT factors <= 512x512.
+FOUR_STEP_MAX = 1 << 18
+FOUR_STEP_MIN = 1 << 8
+
+
 def _stockham(re, im, n: int, sign: float):
     """Radix-2 Stockham autosort FFT over the last axis (length n)."""
     tw = _twiddles(n, sign)
@@ -87,17 +147,23 @@ def _stockham(re, im, n: int, sign: float):
     return re, im
 
 
+def _fft_core(re, im, n: int, sign: float):
+    if FOUR_STEP_MIN <= n <= FOUR_STEP_MAX:
+        return _four_step(re, im, n, sign)
+    return _stockham(re, im, n, sign)
+
+
 def fft_ri(x):
     """Forward FFT of a split array (..., 2, N) -> (..., 2, N)."""
     n = x.shape[-1]
-    re, im = _stockham(x[..., 0, :], x[..., 1, :], n, -1.0)
+    re, im = _fft_core(x[..., 0, :], x[..., 1, :], n, -1.0)
     return jnp.stack([re, im], axis=-2)
 
 
 def ifft_unnorm_ri(x):
     """Unnormalised inverse FFT (matches cuFFT's inverse, i.e. N·ifft)."""
     n = x.shape[-1]
-    re, im = _stockham(x[..., 0, :], -x[..., 1, :], n, -1.0)
+    re, im = _fft_core(x[..., 0, :], -x[..., 1, :], n, -1.0)
     return jnp.stack([re, -im], axis=-2)
 
 
@@ -111,7 +177,7 @@ def rfft_ri(x_real):
     h = n // 2
     ev = x_real[..., 0::2]
     od = x_real[..., 1::2]
-    zr, zi = _stockham(ev, od, h, -1.0)
+    zr, zi = _fft_core(ev, od, h, -1.0)
 
     # unpack: X[k] = (Z[k]+conj(Z[h-k]))/2 - i/2 * e^{-2πik/n} (Z[k]-conj(Z[h-k]))
     k = np.arange(h + 1)
