@@ -60,8 +60,13 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False)
     symLUT = None if spec.symbolLUT is None else spec.symbolLUT.astype(np.int32)
     trust_normal = np.int8(TRUST_NORMAL * spec.voteWeight)
 
-    def process_block(samples_ri: jnp.ndarray) -> dict:
+    def process_block(samples_ri: jnp.ndarray, centre_shift=np.int32(0)) -> dict:
+        """``centre_shift`` recentres the whole Doppler grid by that many
+        FFT bins at runtime (tracking mode: a narrow grid follows the
+        estimate of previous blocks instead of sweeping the full
+        acquisition range — see models/tracking.py)."""
         sig = samples_ri.astype(jnp.float32)
+        centre_shift = jnp.asarray(centre_shift, jnp.int32)
 
         if spec.disable_peak_thresholding:
             clipped = jnp.zeros((N,), dtype=bool)
@@ -73,7 +78,11 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False)
 
         if spec.doppler_search:
             absS = jnp.sqrt(P)
-            E = doppler_energy_matmul(P, Q_T, shift_idx)
+            # rotate the spectrum by the tracking centre so the static
+            # gather map probes (k + s_d + centre) mod N
+            rot = (jnp.arange(N, dtype=jnp.int32) + centre_shift) % N
+            Pc = jnp.take(P, rot, axis=0)
+            E = doppler_energy_matmul(Pc, Q_T, shift_idx)
             dopp_idx, quality_db = find_doppler_estimate(
                 E, spec.num_dopplers, spec.dopp_array_offset, spec.sum_all_masks
             )
@@ -83,11 +92,14 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False)
             frac = jnp.mod(dopp_idx, 1.0)
             hz = jnp.asarray(hz_lut)
             sh_t = jnp.asarray(dopp_shifts)
-            doppler_hz = hz[lowIdx] + (hz[highIdx] - hz[lowIdx]) * frac
+            centre_hz = centre_shift.astype(jnp.float32) * (spec.sampleRate / N)
+            doppler_hz = hz[lowIdx] + (hz[highIdx] - hz[lowIdx]) * frac + centre_hz
             sl = sh_t[lowIdx].astype(jnp.float32)
             sh = sh_t[highIdx].astype(jnp.float32)
-            shift = jnp.round(sl + (sh - sl) * frac).astype(jnp.int32)
-            snr_db = compute_snr(absS, sh_t[lowIdx], sh_t[highIdx], spec.snr_window, N)
+            shift = (jnp.round(sl + (sh - sl) * frac).astype(jnp.int32)
+                     + centre_shift)
+            snr_db = compute_snr(absS, sh_t[lowIdx] + centre_shift,
+                                 sh_t[highIdx] + centre_shift, spec.snr_window, N)
             freq_offset_hz = doppler_hz - spec.centreFreqOffset
         else:
             E = jnp.zeros((D, spec.num_masks), dtype=jnp.float32)

@@ -109,6 +109,29 @@ def build_doppler_grid(
     return shifts, hz_lut, int(dopp_offset_idx), sampleRate
 
 
+def narrow_spec(spec: DemodSpec, track_bins: int, span_bins: int) -> DemodSpec:
+    """A tracking variant of ``spec``: ``track_bins`` Doppler bins over
+    ±``span_bins``/2 FFT bins around the IF offset. Combined with the
+    runtime ``centre_shift`` of the block graph this gives the
+    search-and-track loop its narrow follow grid (models/tracking.py).
+    """
+    import dataclasses
+
+    N = spec.Nfft
+    raw = np.round(
+        spec.dopp_offset_idx + np.linspace(-span_bins / 2, span_bins / 2, track_bins)
+    ).astype(np.int64)
+    hz_lut = (raw * spec.sampleRate / N).astype(np.float64)
+    shifts = np.mod(raw, N).astype(np.int32)
+    return dataclasses.replace(
+        spec,
+        num_dopplers=track_bins,
+        dopp_shifts=shifts,
+        dopp_hz_lut=hz_lut,
+        dopp_array_offset=0,
+    )
+
+
 def build_spec(conf: dict, protocol, radioName: str) -> DemodSpec:
     """Resolve config + protocol into a frozen DemodSpec."""
     confRadio = conf["Radios"]["Rx"][radioName]

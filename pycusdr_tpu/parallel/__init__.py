@@ -25,3 +25,4 @@ from pycusdr_tpu.parallel.mesh import choose_mesh, make_mesh  # noqa: F401
 from pycusdr_tpu.parallel.sharded_demod import build_sharded_demod_step  # noqa: F401
 from pycusdr_tpu.parallel.halo import build_time_sharded_stream  # noqa: F401
 from pycusdr_tpu.parallel.vote import vote_n_device  # noqa: F401
+from pycusdr_tpu.parallel.channelizer import Channelizer, channelize_numpy  # noqa: F401

@@ -1,0 +1,112 @@
+"""Polyphase channelizer: golden vs numpy, tone routing, streaming
+state continuity, and channelizer -> sharded demod integration."""
+
+import numpy as np
+import pytest
+
+from pycusdr_tpu.ops.cfft import c2ri, ri2c
+from pycusdr_tpu.parallel.channelizer import Channelizer, channelize_numpy
+
+
+def test_matches_numpy_reference():
+    M, T = 16, 256
+    rng = np.random.RandomState(0)
+    x = (rng.randn(M * T) + 1j * rng.randn(M * T)).astype(np.complex64)
+    ch = Channelizer(M, taps_per_branch=8)
+    y, _ = ch(c2ri(x))
+    got = ri2c(np.asarray(y))  # (M, T)
+    ref = channelize_numpy(x, M, 8)
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-5
+
+
+def test_tone_routing():
+    """A tone at channel m's centre appears (only) in channel m."""
+    M, T = 64, 512
+    n = np.arange(M * T)
+    ch = Channelizer(M)
+    for m0 in [0, 3, 31, 63]:
+        x = np.exp(2j * np.pi * m0 / M * n).astype(np.complex64)
+        y, _ = ch(c2ri(x))
+        yc = ri2c(np.asarray(y))
+        power = np.mean(np.abs(yc[:, 64:]) ** 2, axis=1)  # skip filter ramp-in
+        assert np.argmax(power) == m0
+        others = np.delete(power, m0)
+        assert power[m0] > 100 * others.max(), f"leakage too high for m0={m0}"
+
+
+def test_offset_tone_lands_at_baseband_offset():
+    """A tone offset by d from channel centre shows at d*M at fs/M."""
+    M, T = 16, 1024
+    n = np.arange(M * T)
+    d = 0.01  # normalized offset at wideband rate
+    m0 = 5
+    x = np.exp(2j * np.pi * (m0 / M + d / M) * n).astype(np.complex64)
+    y, _ = ch_out = Channelizer(M)(c2ri(x))
+    yc = ri2c(np.asarray(y))[m0, 256:]
+    spec = np.abs(np.fft.fft(yc))
+    f_est = np.argmax(spec) / len(yc)
+    assert abs(f_est - d) < 2.0 / len(yc)
+
+
+def test_streaming_state_continuity():
+    """Chunked processing with carried state == one-shot processing."""
+    M, T = 8, 512
+    rng = np.random.RandomState(1)
+    x = (rng.randn(M * T) + 1j * rng.randn(M * T)).astype(np.complex64)
+    ch = Channelizer(M, taps_per_branch=4)
+
+    y_full, _ = ch(c2ri(x))
+    y_full = ri2c(np.asarray(y_full))
+
+    half = M * T // 2
+    st = ch.init_state()
+    y1, st = ch(c2ri(x[:half]), st)
+    y2, _ = ch(c2ri(x[half:]), st)
+    y_chunks = np.concatenate([ri2c(np.asarray(y1)), ri2c(np.asarray(y2))], axis=1)
+    np.testing.assert_allclose(y_chunks, y_full, rtol=1e-4, atol=1e-5)
+
+
+def test_channelizer_feeds_sharded_demod():
+    """Wideband capture -> channelizer -> mesh-sharded demod: an FSK
+    packet planted in one channel demodulates there (BASELINE #5)."""
+    import __graft_entry__ as g
+    from conftest import make_fsk_signal
+    from pycusdr_tpu.dsp.block import build_process_block
+
+    spec = g.tiny_spec()
+    M = 4
+    N = spec.Nfft
+    rng = np.random.RandomState(2)
+    nbits = N // int(spec.spsym)
+    bits = rng.randint(0, 2, nbits)
+    # narrowband FSK at the demod IF offset, upconverted to channel 2
+    nb = make_fsk_signal(bits, int(spec.spsym), spec.centreFreqOffset / spec.sampleRate)
+    # build the wideband signal by interpolating channel 2: use zero
+    # stuffing of other channels via synthesis: simplest faithful path
+    # is to upsample nb by M and mix to channel 2's centre
+    wbn = np.arange(N * M)
+    # clean FFT interpolation to the wideband rate, then mix to ch 2
+    X = np.fft.fft(nb)
+    Xup = np.zeros(N * M, complex)
+    Xup[: N // 2] = X[: N // 2]
+    Xup[-N // 2 :] = X[N // 2 :]
+    up = np.fft.ifft(Xup) * M
+    wb = (up * np.exp(2j * np.pi * 2 / M * wbn)).astype(np.complex64)
+
+    ch = Channelizer(M)
+    y, _ = ch(c2ri(wb * M))  # scale compensates the 1/M filter gain split
+    y = np.asarray(y)  # (M, 2, N)
+
+    single = build_process_block(spec, jit=True)
+    res = {k: np.asarray(v) for k, v in single(y[2]).items()}
+    n = int(res["nBits"])
+    got = res["bits"][4 : n - 4]
+    # the PFB prototype filter delays the signal ~(K/2) decimated
+    # samples (~half a symbol): allow a +-2 bit alignment slip
+    best = 0.0
+    for d in range(-2, 3):
+        exp = bits[4 + d : 4 + d + len(got)]
+        L = min(len(exp), len(got))
+        if L > 0:
+            best = max(best, float(np.mean(got[:L] == exp[:L])))
+    assert best > 0.95, f"demod through channelizer failed: best match {best}"
