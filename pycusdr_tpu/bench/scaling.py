@@ -1,0 +1,81 @@
+"""Multi-chip scaling efficiency harness.
+
+BASELINE.json requires scaling efficiency measured at 1 chip / 1 host /
+N>=2 hosts. This harness times the sharded (channel x dopp) demod step
+over growing mesh sizes and reports throughput + efficiency relative to
+the single-device baseline. On a CPU host it exercises the virtual
+device mesh (functional validation); on a pod slice the same code
+measures real ICI scaling.
+
+Run: ``python -m pycusdr_tpu.bench.scaling [--devices 1 2 4 8]``
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def measure_step(spec, mesh, n_channels, n_iter=20):
+    import jax
+
+    from pycusdr_tpu.parallel import build_sharded_demod_step
+
+    step = build_sharded_demod_step(spec, mesh)
+    rng = np.random.RandomState(0)
+    blocks = rng.randn(n_channels, 2, spec.Nfft).astype(np.float32)
+    jax.block_until_ready(step(blocks))  # compile
+    t0 = time.perf_counter()
+    outs = [step(blocks) for _ in range(n_iter)]
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / n_iter
+    samples = n_channels * (spec.Nfft - spec.sigOverlap)
+    return samples / dt
+
+
+def run_scaling(device_counts=(1, 2, 4, 8), spec=None, channels_per_device=1):
+    import jax
+
+    from pycusdr_tpu.parallel import choose_mesh
+
+    if spec is None:
+        import __graft_entry__ as g
+
+        spec = g.tiny_spec() if jax.default_backend() == "cpu" else g.flagship_spec()
+
+    avail = len(jax.devices())
+    results = []
+    base = None
+    for n in device_counts:
+        if n > avail:
+            break
+        mesh = choose_mesh(n, jax.devices()[:n])
+        nc = mesh.shape["channel"] * channels_per_device
+        sps = measure_step(spec, mesh, nc)
+        if base is None:
+            base = sps
+        eff = sps / (base * n)
+        results.append({"devices": n, "Msamples_per_s": round(sps / 1e6, 3),
+                        "efficiency": round(eff, 3)})
+    return results
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+    if args.cpu:
+        import os
+
+        os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    for row in run_scaling(tuple(args.devices)):
+        print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

@@ -66,6 +66,13 @@ class Demodulator:
         self.dopplerIdxlast = 0
         self.clippedPeakIPure = np.array([], dtype=np.int64)
 
+        # debug full-state dumps (reference STORE_BITS_IN_FILE,
+        # demodulator_base.py:224-241): one npz per block
+        from pycusdr_tpu.globals import STORE_BITS_IN_FILE
+
+        self._store_bits = STORE_BITS_IN_FILE
+        self._dump_count = 0
+
         log.info(
             "[%s]: TPU demodulator ready: Nfft=%d overlap=%d masks=%d dopplers=%d "
             "sum_all_masks=%s doppler_search=%s",
@@ -126,6 +133,16 @@ class Demodulator:
         centresWin, bitsWin, trustWin, _ = self.checkSymbolOverlap(
             noError, centres, r["symbols"][:nBits], bits, trust
         )
+        if self._store_bits:
+            import os
+
+            os.makedirs("debug_dumps", exist_ok=True)
+            np.savez(
+                f"debug_dumps/{self.radioName}_block{self._dump_count:06d}.npz",
+                bits=bits, trust=trust, centres=centres, spSym=spSym,
+                doppler_hz=r["doppler_hz"], snr_db=r["snr_db"], E=r["E"],
+            )
+            self._dump_count += 1
         return bitsWin.astype(np.uint8), centresWin, trustWin.astype(np.int8), spSym
 
     def process(self, samples=None):
