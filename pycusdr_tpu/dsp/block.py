@@ -32,10 +32,16 @@ from pycusdr_tpu.ops.demod_kernels import (
     threshold_input,
 )
 from pycusdr_tpu.ops.doppler_search import (
+    doppler_energy_corr,
     doppler_energy_matmul,
     find_doppler_estimate,
+    make_qf_ri,
     make_shift_gather_indices,
 )
+
+# Above this grid size the FFT-correlation evaluation of the Doppler
+# energy beats the shifted-spectrum matmul (measured 2.3x at D=64).
+CORR_ROUTE_MIN_D = 32
 
 TRUST_NORMAL = 2
 TRUST_SYMBOL_ERROR = -1
@@ -52,6 +58,7 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False)
     masks_ri = c2ri(spec.masks_f)  # (M, 2, N) f32
     Q_T = (np.abs(spec.masks_f.astype(np.complex64)) ** 2).T.astype(np.float32)  # (N, M)
     shift_idx = make_shift_gather_indices(N, spec.dopp_shifts)
+    qf_ri = make_qf_ri(spec.masks_f) if spec.D >= CORR_ROUTE_MIN_D else None
     dopp_shifts = spec.dopp_shifts.astype(np.int32)
     hz_lut = spec.dopp_hz_lut.astype(np.float32)
     D = spec.D
@@ -78,11 +85,15 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False)
 
         if spec.doppler_search:
             absS = jnp.sqrt(P)
-            # rotate the spectrum by the tracking centre so the static
-            # gather map probes (k + s_d + centre) mod N
-            rot = (jnp.arange(N, dtype=jnp.int32) + centre_shift) % N
-            Pc = jnp.take(P, rot, axis=0)
-            E = doppler_energy_matmul(Pc, Q_T, shift_idx)
+            if D >= CORR_ROUTE_MIN_D:
+                E = doppler_energy_corr(P, jnp.asarray(qf_ri),
+                                        jnp.asarray(dopp_shifts), centre_shift)
+            else:
+                # narrow grids: rotate the spectrum by the tracking
+                # centre so the static gather probes (k + s_d + centre)
+                rot = (jnp.arange(N, dtype=jnp.int32) + centre_shift) % N
+                Pc = jnp.take(P, rot, axis=0)
+                E = doppler_energy_matmul(Pc, Q_T, shift_idx)
             dopp_idx, quality_db = find_doppler_estimate(
                 E, spec.num_dopplers, spec.dopp_array_offset, spec.sum_all_masks
             )

@@ -84,3 +84,67 @@ def test_roundtrip_conversions():
     rng = np.random.RandomState(9)
     x = (rng.randn(4, 100) + 1j * rng.randn(4, 100)).astype(np.complex64)
     np.testing.assert_array_equal(ri2c(c2ri(x)), x)
+
+
+def test_doppler_corr_route_matches_matmul():
+    """The FFT-correlation Doppler energy equals the shifted matmul."""
+    import jax.numpy as jnp
+
+    from pycusdr_tpu.ops.doppler_search import (
+        doppler_energy_corr,
+        doppler_energy_matmul,
+        make_qf_ri,
+        make_shift_gather_indices,
+    )
+
+    N, M, D = 4096, 8, 48
+    rng = np.random.RandomState(11)
+    masks_f = (rng.randn(M, N) + 1j * rng.randn(M, N)).astype(np.complex64)
+    P = np.abs(rng.randn(N)).astype(np.float32) * 100
+    shifts = rng.randint(0, N, D).astype(np.int32)
+
+    QT = (np.abs(masks_f) ** 2).T.astype(np.float32)
+    sidx = make_shift_gather_indices(N, shifts)
+    a = np.asarray(doppler_energy_matmul(jnp.asarray(P), jnp.asarray(QT), jnp.asarray(sidx)))
+    b = np.asarray(doppler_energy_corr(jnp.asarray(P), jnp.asarray(make_qf_ri(masks_f)),
+                                       jnp.asarray(shifts)))
+    np.testing.assert_allclose(a, b, rtol=2e-4)
+
+    # runtime grid recentre matches a pre-shifted grid
+    c = np.int32(37)
+    sidx_c = make_shift_gather_indices(N, (shifts + c) % N)
+    a2 = np.asarray(doppler_energy_matmul(jnp.asarray(P), jnp.asarray(QT), jnp.asarray(sidx_c)))
+    b2 = np.asarray(doppler_energy_corr(jnp.asarray(P), jnp.asarray(make_qf_ri(masks_f)),
+                                        jnp.asarray(shifts), jnp.asarray(c)))
+    np.testing.assert_allclose(a2, b2, rtol=2e-4)
+
+
+def test_block_graph_corr_route_golden():
+    """A wide-grid spec (corr route) still matches the numpy reference."""
+    import dataclasses
+
+    import __graft_entry__ as g
+    from pycusdr_tpu.dsp.block import CORR_ROUTE_MIN_D, build_process_block
+    from pycusdr_tpu.dsp.reference import demod_block_numpy
+    from pycusdr_tpu.dsp.spec import build_doppler_grid
+
+    spec0 = g.tiny_spec()
+    shifts, hz_lut, off_idx, fs = build_doppler_grid(
+        spec0.Nfft, 48, spec0.baudRate, spec0.spsym, 437.3e6,
+        spec0.centreFreqOffset, 7500.0)
+    spec = dataclasses.replace(spec0, num_dopplers=48, dopp_shifts=shifts,
+                               dopp_hz_lut=hz_lut, dopp_array_offset=0)
+    assert spec.D >= CORR_ROUTE_MIN_D
+
+    from conftest import make_fsk_signal
+    rng = np.random.RandomState(21)
+    bits = rng.randint(0, 2, spec.Nfft // int(spec.spsym))
+    sig = make_fsk_signal(bits, int(spec.spsym), spec.centreFreqOffset / fs,
+                          noise_std=0.05, seed=3)
+
+    ref = demod_block_numpy(spec, sig)
+    jx = {k: np.asarray(v) for k, v in build_process_block(spec)(c2ri(sig)).items()}
+    assert abs(float(jx["doppler_hz"]) - ref["doppler_hz"]) < 1.0
+    assert int(jx["shift"]) == ref["shift"]
+    n = int(jx["nSym"])
+    assert np.array_equal(jx["bits"][:n], ref["bits"][:n])
