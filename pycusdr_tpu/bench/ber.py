@@ -105,11 +105,15 @@ def run_ber_sweep(modulation="FSK", nRuns=3, snrs=(15.0,), *, nDemodulators=1,
     bw = modulation_bandwidth(modulation, baud)
 
     if conf is None:
-        conf = load_modular_json(
-            os.path.join(CONF_DIR, "benchmark", f"bench_{modulation}.json")
-        )
+        cfg = ("bench_3_chan_rx.json" if nDemodulators > 1
+               else f"bench_{modulation}.json")
+        conf = load_modular_json(os.path.join(CONF_DIR, "benchmark", cfg))
         conf["Main"]["PacketLen"] = packetLen
         conf["Main"]["RandSeed"] = seed
+        conf["Main"]["protocols"] = {"UHF": f"bench_{modulation}"}
+        if nDemodulators > 1:
+            # diversity vote through the real softCombiner (BASELINE #4)
+            conf["Main"]["softCombiner_enabled"] = True
         if blockSize is not None:
             conf["GPU"]["UHF"]["blockSize"] = blockSize
         # unique ports per sweep

@@ -26,3 +26,18 @@ def test_modulation_bandwidths():
     assert modulation_bandwidth("FSK", 9600) == 2 * 9600 + 9600
     assert modulation_bandwidth("BPSK", 9600) == 9600 * 1.5
     assert abs(modulation_bandwidth("GMSK", 9600) - 9600 / 0.7) < 1e-9
+
+
+def test_three_channel_diversity_vote_ber():
+    """BASELINE config #4: three Rx channels + softCombiner vote, full
+    process pipeline. At moderate SNR with independent channel noise the
+    voted stream must still yield clean packets."""
+    os.environ["PYCUSDR_JAX_PLATFORM"] = "cpu"
+    from pycusdr_tpu.bench.ber import run_ber_sweep
+
+    res = run_ber_sweep(
+        "FSK", nRuns=3, snrs=[16.0], packetLen=1000, blockSize=13,
+        basePort=28560, fsSimFactor=1.5, settle=12.0, nDemodulators=3,
+    )
+    assert res["numPackets"][0] >= 1, f"no packets through the vote: {res}"
+    assert res["BER"][0] < 0.02, f"voted BER too high: {res['BER']}"

@@ -228,6 +228,59 @@ class TestSoftCombinerProcess:
         got = np.concatenate([d["data"] for d in res["chan0"]])
         assert longest_match_run(got[: len(truth)], truth[: len(got)]) > 2000
 
+    @pytest.mark.parametrize("n_chan", [2, 4, 6])
+    def test_n_channel_vote(self, combiner_conf, n_chan):
+        """Reference test_softCombiner.py exercises 2/3/4/6-way voting
+        with random inter-channel delays and injected corruption."""
+        rng = np.random.RandomState(40 + n_chan)
+        truth = rng.randint(0, 2, 8000).astype(np.int8)
+        # a 2-way vote resolves disagreements to the master (it cannot
+        # correct), so its clean runs scale with 1/p; N>=3 corrects
+        p_flip = 0.002 if n_chan == 2 else 0.01
+        streams = {}
+        for i in range(n_chan):
+            delay = rng.randint(1000, 2000)
+            b = np.r_[rng.randint(0, 2, delay), truth].astype(np.int8)
+            b[rng.rand(len(b)) < p_flip] ^= 1
+            streams[f"chan{i}"] = b
+        res = self._run_streams(combiner_conf, streams)
+        voted = [d for v in res.values() for d in v if d.get("numSlaves", 0) > 0]
+        assert voted, f"no voting happened with {n_chan} channels"
+        best = 0
+        for d in voted:
+            bits = np.asarray(d["data"], np.int8)
+            lag, ok = xcorr_peak(np.r_[truth, np.zeros(4000, np.int8)], bits, 10.0)
+            if ok:
+                seg = truth[lag : lag + len(bits)]
+                best = max(best, longest_match_run(bits[: len(seg)], seg))
+        thr = 600 if n_chan == 2 else 1200
+        assert best > thr, f"{n_chan}-way voted stream mismatch (best run {best})"
+
+    def test_noise_only_channel_is_isolated(self, combiner_conf):
+        """A channel carrying pure noise must not corrupt the others'
+        voted output (reference :698-738 noise-channel cases)."""
+        rng = np.random.RandomState(77)
+        truth = rng.randint(0, 2, 8000).astype(np.int8)
+        streams = {}
+        for i in range(2):
+            delay = rng.randint(1000, 2000)
+            b = np.r_[rng.randint(0, 2, delay), truth].astype(np.int8)
+            b[rng.rand(len(b)) < 0.002] ^= 1
+            streams[f"chan{i}"] = b
+        streams["noise"] = rng.randint(0, 2, 9500).astype(np.int8)
+
+        res = self._run_streams(combiner_conf, streams)
+        assert res, "no combiner output"
+        best = 0
+        for v in res.values():
+            for d in v:
+                bits = np.asarray(d["data"], np.int8)
+                lag, ok = xcorr_peak(np.r_[truth, np.zeros(4000, np.int8)], bits, 10.0)
+                if ok:
+                    seg = truth[lag : lag + len(bits)]
+                    best = max(best, longest_match_run(bits[: len(seg)], seg))
+        assert best > 600, f"real channels corrupted by the noise channel ({best})"
+
     def test_three_channel_vote_corrects_corruption(self, combiner_conf):
         rng = np.random.RandomState(6)
         truth = rng.randint(0, 2, 9000).astype(np.int8)
