@@ -199,28 +199,41 @@ class Decoder:
         return packets
 
     def _find_in_data(self, rawBits, packetIdx, idxCand, score):
-        """Length field inside the (possibly whitened) packet."""
+        """Length field inside the (possibly whitened) packet.
+
+        A candidate that wants more data than the block holds only
+        pauses the scan when it is the LAST candidate — header-sidelobe
+        false positives decode junk lengths and must not starve a real
+        frame behind them.
+        """
         packets = []
+
+        def hold(idx):
+            startIdx = max(0, idx - 20)
+            if len(rawBits) - startIdx > self.numBitsOverlap:
+                self.bitsOverlapBuf = rawBits[startIdx:]
+
+        last = len(packetIdx) - 1
         for i in range(len(packetIdx)):
             avail = len(rawBits) - packetIdx[i]
-            if avail < (self.packetEndLenField + self.packetEndLenFieldNumBytes) * 8:
-                startIdx = max(0, packetIdx[i] - 20)
-                if len(rawBits) - startIdx > self.numBitsOverlap:
-                    self.bitsOverlapBuf = rawBits[startIdx:]
-                break
+            hdr_len = (self.packetEndLenField + self.packetEndLenFieldNumBytes) * 8
+            if avail < hdr_len:
+                if i == last:
+                    hold(packetIdx[i])
+                    break
+                continue
             lenBits = rawBits[
-                packetIdx[i] + self.packetEndLenField * 8 : packetIdx[i]
-                + (self.packetEndLenField + self.packetEndLenFieldNumBytes) * 8
+                packetIdx[i] + self.packetEndLenField * 8 : packetIdx[i] + hdr_len
             ]
             plen_bits = int(self.packetEndLenDecoder(lenBits)) * 8
             if plen_bits <= 0 or plen_bits > self.maxPacketLenBits:
                 continue
-            total = (self.packetEndLenField + self.packetEndLenFieldNumBytes) * 8 + plen_bits
+            total = hdr_len + plen_bits
             if avail < total:
-                startIdx = max(0, packetIdx[i] - 20)
-                if len(rawBits) - startIdx > self.numBitsOverlap:
-                    self.bitsOverlapBuf = rawBits[startIdx:]
-                break
+                if i == last:
+                    hold(packetIdx[i])
+                    break
+                continue
             bits = rawBits[packetIdx[i] : packetIdx[i] + total]
             packets.append(
                 self.Packet(bits, packetIdx[i], self.protocol.numOnesHeader - score[idxCand[i]])

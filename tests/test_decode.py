@@ -148,3 +148,73 @@ class TestReedSolomon:
         dec, nerr = rs.decode(cw)
         assert nerr == 1
         assert np.array_equal(dec, msg.astype(np.uint8))
+
+
+class TestInDataMode:
+    """IN_DATA packet-end detection: length field inside the packet
+    (the reference left this a stub, decoder.py:283-288)."""
+
+    def _protocol(self):
+        from pycusdr_tpu.protocol.base import PacketEndDetect, ProtocolBase
+
+        class P(ProtocolBase):
+            name = "in_data_test"
+            packetEndDetectMode = PacketEndDetect.IN_DATA
+            packetEndLenField = 2      # length byte sits 2 bytes in
+            packetEndLenFieldNumBytes = 1
+            numOnesHeader = 16
+            headerTol = 2
+            numOnesSyncSig = 16
+            syncSigTol = 2
+            numBitsOverlap = 64
+
+            def get_mask(self):
+                return np.ones(16)  # header: 16 ones
+
+            def get_syncFlag(self):
+                return np.ones(16)
+
+            def packetEndLenDecoder(self, bits, **kwargs):
+                return int(np.dot(bits, 2 ** np.arange(7, -1, -1)))
+
+        return P()
+
+    def test_length_field_slicing(self):
+        from pycusdr_tpu.decode.frame_finder import Decoder
+
+        proto = self._protocol()
+        dec = Decoder({}, proto)
+
+        rng = np.random.RandomState(3)
+        payload_len = 5  # bytes
+        hdr = np.ones(16, np.int8)  # = packetEndLenField 2 bytes
+        len_byte = np.array([int(b) for b in f"{payload_len:08b}"], np.int8)
+        payload = rng.randint(0, 2, payload_len * 8).astype(np.int8)
+        frame = np.r_[hdr, len_byte, payload]
+        filler = rng.randint(0, 2, 300).astype(np.int8)
+        filler[::8] = 0  # no accidental 16-ones header in the filler
+        stream = np.r_[filler, frame, filler].astype(np.int8)
+
+        pkts, _, _ = dec.findFrames(stream, 0)
+        assert len(pkts) >= 1
+        total = 16 + 8 + payload_len * 8
+        match = [p for p in pkts if len(p.bits) == total]
+        assert match, f"no packet with expected length {total}: {[len(p.bits) for p in pkts]}"
+
+    def test_waits_for_more_data(self):
+        from pycusdr_tpu.decode.frame_finder import Decoder
+
+        proto = self._protocol()
+        dec = Decoder({}, proto)
+        rng = np.random.RandomState(4)
+        hdr = np.ones(16, np.int8)
+        len_byte = np.array([0, 0, 0, 0, 1, 0, 1, 0], np.int8)  # len 10 bytes
+        frame_head = np.r_[hdr, len_byte]
+        # stream ends right after the length field: must hold, not emit
+        stream = np.r_[np.zeros(100, np.int8), frame_head]
+        pkts, _, _ = dec.findFrames(stream, 0)
+        assert len(pkts) == 0
+        # the continuation block supplies the payload
+        payload = rng.randint(0, 2, 10 * 8).astype(np.int8)
+        pkts, _, _ = dec.findFrames(np.r_[payload, np.zeros(200, np.int8)], 0)
+        assert len(pkts) >= 1
