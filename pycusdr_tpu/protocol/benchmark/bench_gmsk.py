@@ -17,6 +17,11 @@ class BenchGMSK(BenchBase):
     name = "bench_GMSK"
     SUM_ALL_MASKS_PYTHON = True
 
+    def getModulator(self, confRadio):
+        from pycusdr_tpu.tx.luts import GMSKmod
+
+        return GMSKmod
+
     def get_filter(self, Nfft, spsym, maskSize):
         masks = self._get_xcorrMasks(maskSize)
         templates = []
