@@ -110,3 +110,49 @@ def test_channelizer_feeds_sharded_demod():
         if L > 0:
             best = max(best, float(np.mean(got[:L] == exp[:L])))
     assert best > 0.95, f"demod through channelizer failed: best match {best}"
+
+
+def test_channelizer_into_sharded_mesh_demod():
+    """BASELINE #5 end-to-end shape: wideband capture -> channelizer ->
+    channels sharded over the (channel x dopp) mesh -> demod + vote."""
+    import jax
+
+    import __graft_entry__ as g
+    from pycusdr_tpu.parallel import build_sharded_demod_step, make_mesh
+
+    spec = g.tiny_spec()
+    M, N = 4, spec.Nfft
+    rng = np.random.RandomState(5)
+
+    # one FSK packet per channel (same bits, different noise)
+    from conftest import make_fsk_signal
+    nbits = N // int(spec.spsym)
+    bits = rng.randint(0, 2, nbits)
+    wb = np.zeros(N * M, complex)
+    wbn = np.arange(N * M)
+    for m in range(M):
+        nb = make_fsk_signal(bits, int(spec.spsym),
+                             spec.centreFreqOffset / spec.sampleRate,
+                             seed=10 + m, noise_std=0.05)
+        X = np.fft.fft(nb)
+        Xup = np.zeros(N * M, complex)
+        Xup[: N // 2] = X[: N // 2]
+        Xup[-N // 2 :] = X[N // 2 :]
+        wb += np.fft.ifft(Xup) * M * np.exp(2j * np.pi * m / M * wbn)
+    wb = wb.astype(np.complex64)
+
+    ch = Channelizer(M)
+    y, _ = ch(c2ri(wb * M))  # (M, 2, N): M channel blocks, split complex
+
+    mesh = make_mesh({"channel": 4, "dopp": 2})
+    step = build_sharded_demod_step(spec, mesh)
+    res = step(np.asarray(y))
+    nSym = int(np.asarray(res["nSym"])[0])
+
+    # every channel demodulated the same packet -> the vote agrees with
+    # each channel over the stable middle
+    voted = np.asarray(res["bits_voted"])[: nSym]
+    per_chan = np.asarray(res["bits"])[:, :nSym]
+    mid = slice(8, nSym - 8)
+    for c in range(M):
+        assert np.mean(per_chan[c][mid] == voted[mid]) > 0.93, f"chan {c} disagrees"
