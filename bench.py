@@ -80,7 +80,8 @@ def main():
 
     # --- CPU reference (numpy transliteration of the reference chain) ---
     demod_block_numpy(spec, block)  # warm-up (first call pays page-in costs)
-    cpu_dt, _ = time_fn(lambda b: demod_block_numpy(spec, b), 3, block)
+    cpu_dt = min(time_fn(lambda b: demod_block_numpy(spec, b), 1, block)[0]
+                 for _ in range(3))  # min-of-runs rejects host contention
     cpu_msps = eff_samples / cpu_dt / 1e6
 
     target = 10.0 * cpu_msps

@@ -184,10 +184,14 @@ def rfft_ri(x_real):
     wr = np.cos(-2 * np.pi * k / n).astype(np.float32)
     wi = np.sin(-2 * np.pi * k / n).astype(np.float32)
 
-    idx = np.concatenate([np.arange(h), [0]])  # Z[k] for k=0..h with Z[h]=Z[0]
-    ridx = (h - k) % h  # conj(Z[h-k])
-    zkr, zki = zr[..., idx], zi[..., idx]
-    zcr, zci = zr[..., ridx], -zi[..., ridx]
+    # Z[k] for k=0..h (Z[h]=Z[0]) and conj(Z[(h-k) % h]) — built from
+    # slices + flips, not index gathers (gathers are slow on TPU)
+    zkr = jnp.concatenate([zr, zr[..., :1]], axis=-1)
+    zki = jnp.concatenate([zi, zi[..., :1]], axis=-1)
+    zcr = jnp.concatenate(
+        [zr[..., :1], jnp.flip(zr[..., 1:], axis=-1), zr[..., :1]], axis=-1)
+    zci = -jnp.concatenate(
+        [zi[..., :1], jnp.flip(zi[..., 1:], axis=-1), zi[..., :1]], axis=-1)
 
     er, ei = (zkr + zcr) * 0.5, (zki + zci) * 0.5
     or_, oi = (zkr - zcr) * 0.5, (zki - zci) * 0.5
