@@ -1,0 +1,88 @@
+"""Failure detection (SURVEY §5): the orchestrator watchdog must end
+the run when a process dies, and end it gracefully when every
+demodulator loses its sample feed (GRC-gone)."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from pycusdr_tpu.config.loader import load_modular_json
+
+CONF_DIR = os.path.join(os.path.dirname(__file__), "..", "pycusdr_tpu", "config", "configs")
+
+
+def _conf(base_port):
+    conf = load_modular_json(os.path.join(CONF_DIR, "benchmark", "bench_FSK.json"))
+    conf["Main"].update(workerId="fd", PacketLen=1000)
+    conf["GPU"]["UHF"].update(blockSize=13, overlap=10)
+    conf["Radios"]["Rx"]["UHF-H"]["doppCarrierSteps"] = 16
+    conf["Radios"]["Rx"]["UHF-H"]["Interfaces"] = {
+        "RxInPort": f"tcp://127.0.0.1:{base_port}",
+        "demodOut": f"tcp://localhost:{base_port + 1}",
+    }
+    conf["Interfaces"]["Internal"].update({
+        "demodIn": f"tcp://*:{base_port + 1}",
+        "demodOut": f"tcp://localhost:{base_port + 1}",
+        "decodeOut": f"tcp://localhost:{base_port + 2}",
+        "decodeIn": f"tcp://*:{base_port + 2}",
+    })
+    conf["Interfaces"]["External"]["decodeBytesOut_ZMQ"] = {"UHF": f"tcp://*:{base_port + 3}"}
+    conf["Interfaces"]["External"]["XMLRpcIn"] = f"127.0.0.1:{base_port + 4}"
+    conf["decoder"] = dict(conf.get("decoder", {}), statsPort=base_port + 5)
+    return conf
+
+
+def test_watchdog_detects_dead_process():
+    os.environ["PYCUSDR_JAX_PLATFORM"] = "cpu"
+    from pycusdr_tpu.runtime.orchestrator import PyCuSDR
+
+    conf = _conf(31000)
+    conf["Demodulator"] = {"timeoutSeconds": 600}
+    sdr = PyCuSDR(conf, args=None)
+    sdr.start()
+    try:
+        time.sleep(2.0)
+        assert sdr.is_alive()
+        # SIGKILL: the workers mask SIGTERM by design (the parent
+        # coordinates shutdown), so simulate a real crash
+        import signal as _sig
+
+        os.kill(sdr.dec.pid, _sig.SIGKILL)
+        sdr.dec.join(timeout=5)
+        with pytest.raises(Exception, match="died unexpectedly"):
+            for _ in range(20):
+                if not sdr.is_alive():
+                    break
+                time.sleep(0.2)
+    finally:
+        try:
+            sdr.terminate()
+        except Exception:
+            pass
+
+
+def test_grc_timeout_ends_pass_gracefully():
+    os.environ["PYCUSDR_JAX_PLATFORM"] = "cpu"
+    from pycusdr_tpu.runtime.orchestrator import PyCuSDR
+
+    conf = _conf(31100)
+    conf["Demodulator"] = {"timeoutSeconds": 2}  # ~2 s of silence = GRC gone
+    sdr = PyCuSDR(conf, args=None)
+    sdr.start()
+    try:
+        deadline = time.time() + 60
+        alive = True
+        while time.time() < deadline:
+            alive = sdr.is_alive()
+            if not alive:
+                break
+            time.sleep(0.5)
+        assert not alive, "orchestrator did not end after all demods timed out"
+        assert all(d.GRCTimeout() for d in sdr.demodulators)
+    finally:
+        try:
+            sdr.terminate()
+        except Exception:
+            pass
