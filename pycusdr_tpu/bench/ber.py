@@ -91,7 +91,7 @@ def _send_run(pub_socks, sig, snr_raw, rate, chunk, rng):
 def run_ber_sweep(modulation="FSK", nRuns=3, snrs=(15.0,), *, nDemodulators=1,
                   packetLen=10000, seed=123, spSym=16, baud=9600,
                   fsSimFactor=10.0, basePort=25560, conf=None, out_path=None,
-                  blockSize=None, settle=6.0):
+                  blockSize=None, settle=6.0, ready_timeout=90.0):
     """Run the BER sweep; returns a result dict (and saves npz if asked).
 
     ``conf`` may override the shipped bench config (a dict); ports are
@@ -167,14 +167,17 @@ def run_ber_sweep(modulation="FSK", nRuns=3, snrs=(15.0,), *, nDemodulators=1,
     try:
         # readiness handshake: stream noise until every demod child has
         # processed its first block (baudRateEst flips non-zero), so the
-        # sweep never races the spawn + jit warm-up
-        deadline = time.time() + max(settle, 90.0)
+        # sweep never races the spawn + jit warm-up; ``settle`` is a
+        # minimum soak after readiness, ``ready_timeout`` the cap
+        t_start = time.time()
+        deadline = t_start + ready_timeout
         noise = (np.sqrt(0.05) * rng.randn(chunk)).astype(np.complex64)
         while time.time() < deadline:
             for s in pubs:
                 s.send(noise.tobytes())
             time.sleep(chunk / rate)
-            if all(d.baudRateEst != 0 for d in sdr.demodulators):
+            if (all(d.baudRateEst != 0 for d in sdr.demodulators)
+                    and time.time() - t_start >= min(settle, ready_timeout)):
                 break
         else:
             log.warning("demodulators not confirmed ready before deadline")

@@ -46,16 +46,16 @@ def run_scaling(device_counts=(1, 2, 4, 8), spec=None, channels_per_device=1):
 
     avail = len(jax.devices())
     results = []
-    base = None
+    base_per_dev = None
     for n in device_counts:
         if n > avail:
             break
         mesh = choose_mesh(n, jax.devices()[:n])
         nc = mesh.shape["channel"] * channels_per_device
         sps = measure_step(spec, mesh, nc)
-        if base is None:
-            base = sps
-        eff = sps / (base * n)
+        if base_per_dev is None:
+            base_per_dev = sps / n  # first measured count is the baseline
+        eff = (sps / n) / base_per_dev
         results.append({"devices": n, "Msamples_per_s": round(sps / 1e6, 3),
                         "efficiency": round(eff, 3)})
     return results

@@ -15,5 +15,5 @@ see ``pycusdr_tpu.parallel.vote``.
 
 from pycusdr_tpu.combine.worker import Slave, Worker, WorkerIdError  # noqa: F401
 from pycusdr_tpu.combine.votes import do_vote2, do_voteN  # noqa: F401
-from pycusdr_tpu.combine.aligner import align_streams, xcorr_peak  # noqa: F401
+from pycusdr_tpu.combine.aligner import xcorr_peak  # noqa: F401
 from pycusdr_tpu.combine.combiner import SoftCombiner  # noqa: F401

@@ -38,19 +38,3 @@ def xcorr_peak(bitsT: np.ndarray, bitsM: np.ndarray, varianceMultiplier: float):
         return lag, False
     cond = np.mean(top[2:]) + varianceMultiplier * np.std(top[2:])
     return lag, bool(top[0] > cond)
-
-
-def align_streams(bitsM, trustM, slave_streams, varianceMultiplier: float):
-    """Align each (bits, trust) slave stream to the master.
-
-    Returns a list of (bits, trust) slices covering ``len(bitsM)`` bits
-    from each accepted slave (possibly shorter when the slave's buffer
-    ends early).
-    """
-    out = []
-    for bitsT, trustT in slave_streams:
-        lag, ok = xcorr_peak(bitsT, bitsM, varianceMultiplier)
-        if not ok:
-            continue
-        out.append((bitsT[lag : lag + len(bitsM)], trustT[lag : lag + len(trustM)]))
-    return out

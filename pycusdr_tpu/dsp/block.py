@@ -65,7 +65,8 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False)
 
     bitLUT = None if spec.bitLUT is None else spec.bitLUT.astype(np.int8)
     symLUT = None if spec.symbolLUT is None else spec.symbolLUT.astype(np.int32)
-    trust_normal = np.int8(TRUST_NORMAL * spec.voteWeight)
+    # clamp: a fractional voteWeight config must not truncate to 0
+    trust_normal = np.int8(max(1, int(TRUST_NORMAL * spec.voteWeight)))
 
     def process_block(samples_ri: jnp.ndarray, centre_shift=np.int32(0)) -> dict:
         """``centre_shift`` recentres the whole Doppler grid by that many

@@ -39,7 +39,7 @@ def init_distributed(coordinator_address=None, num_processes=None, process_id=No
     return True
 
 
-def make_global_mesh(channel_per_host: int = None, dopp: int = 1):
+def make_global_mesh(dopp: int = 1):
     """A (channel, dopp) mesh over ALL processes' devices.
 
     The channel axis is laid out host-major so each host's Rx channels

@@ -119,7 +119,8 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
     hz_lut = spec.dopp_hz_lut.astype(np.float32)
     dopp_shifts = spec.dopp_shifts.astype(np.int32)
     bitLUT = None if spec.bitLUT is None else spec.bitLUT.astype(np.int8)
-    trust_normal = np.int8(TRUST_NORMAL * spec.voteWeight)
+    # clamp: a fractional voteWeight config must not truncate to 0
+    trust_normal = np.int8(max(1, int(TRUST_NORMAL * spec.voteWeight)))
     numSymMax = spec.numSymMax
 
     est = partial(
@@ -133,7 +134,11 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
         # blocks: local (Cl, 2, N); shift_idx_l: (Dp/nd, N); masks_l: (Ml, 2, N)
         sig = blocks.astype(jnp.float32)
         if not spec.disable_peak_thresholding:
-            sig = jax.vmap(lambda s: threshold_input(s, spec.peak_threshold_scale)[0])(sig)
+            sig, clipped = jax.vmap(
+                lambda s: threshold_input(s, spec.peak_threshold_scale)
+            )(sig)  # clipped: (Cl, N) bool
+        else:
+            clipped = None
         S = fft_ri(sig)  # (Cl, 2, N)
 
         if spec.doppler_search:
@@ -213,6 +218,20 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
         bits = jnp.take(lut_r, symbols, axis=0).astype(jnp.int8)
         slot = jnp.arange(numSymMax, dtype=jnp.int32)[None, :]
         trust = jnp.where(slot < nSym[:, None], trust_normal, jnp.int8(-1))
+
+        if clipped is not None:
+            # trust -2 within ±2·spSym of clipped interference, matching
+            # the single-chip path (dsp/block.py / reference
+            # demodulator_base.py:818-837)
+            from pycusdr_tpu.ops.demod_kernels import dilate_mask_dynamic
+
+            hw = 2 * jnp.ceil(spc).astype(jnp.int32)  # (Cl,)
+            at_centres = jax.vmap(
+                lambda cl, h, ce: jnp.take(
+                    dilate_mask_dynamic(cl, h), jnp.clip(ce, 0, N - 1)
+                )
+            )(clipped, hw, centres)
+            trust = jnp.where(at_centres, jnp.int8(-2), trust)
 
         out = {
             "bits": bits,

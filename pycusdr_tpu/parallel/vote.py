@@ -23,7 +23,10 @@ def vote_n_device(bits: jnp.ndarray, trust: jnp.ndarray, master_idx: int = 0,
     Returns (voted_bits int8[n], combined_trust float32[n]).
     """
     C = bits.shape[0]
-    valid = trust > 0
+    # trust >= 0 qualifies a voter, matching the host path
+    # (combine/votes.py); its weight is |trust| (0-weight voters still
+    # count toward the quorum, like the reference)
+    valid = trust >= 0
     w = jnp.where(valid, trust.astype(jnp.float32), 0.0)
     w = w.at[master_idx].multiply(master_weight)
 

@@ -126,6 +126,7 @@ class Demodulator_process(Process):
         self.runStatus = Event()
         self.runStatus.set()
         self.GRCTimeoutFlag = Event()
+        self.logLevel = log.getEffectiveLevel()
         log.info("[%s]: Demodulator process initialized", radio)
 
     def stop(self):
@@ -146,6 +147,11 @@ class Demodulator_process(Process):
         import zmq  # contexts must be created in the child
 
         from pycusdr_tpu.runtime import sigfifo
+        from pycusdr_tpu.utils.logger import child_logger_setup
+
+        # spawn children start with an unconfigured logger (fresh
+        # interpreter): attach a console handler at the parent's level
+        child_logger_setup(self.logLevel)
 
         time.sleep(0.5)
         self.GRCTimeoutFlag.clear()
@@ -220,7 +226,9 @@ class Demodulator_process(Process):
                     self.SNRStats(data["SNR"], data["spSymEst"])
 
                     try:
-                        demodOut.send_pyobj(data)
+                        # NOBLOCK: a stalled combiner/decoder must drop
+                        # blocks, not wedge the demodulator (real-time)
+                        demodOut.send_pyobj(data, zmq.NOBLOCK)
                     except zmq.error.Again as e:
                         log.error("[%s]: failed to send to decoder [%s]", self.radioName, e)
                     if demodOutClient is not None:
