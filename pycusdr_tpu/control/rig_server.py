@@ -96,7 +96,9 @@ class Rig_server(threading.Thread):
                 self.tx_freq = float(val)
                 self.send_response(Response_codes.SUCCESS)
             elif cmd == b"\\set_rangerate":
-                self.rangerate = float(val)
+                rr = float(val)
+                for r in self.radios_rx + self.radios_tx:
+                    r.rangerate = rr
                 self.send_response(Response_codes.SUCCESS)
             elif cmd == b"\\set_vfo":
                 self._vfo = val.decode("ascii", "replace").strip()

@@ -122,7 +122,14 @@ class Decoder:
                 frameEnd = None
             else:
                 endIdx = int(np.argmax(syncStarts > 0))
-                frameEnd = int(min(syncStarts[endIdx] + 16, syncStarts[-1]))
+                # ignore sync hits inside the overlapped head of the
+                # stream (reference decoder.py:151-153): they belong to
+                # the previous block and would close the packet with
+                # zero new bits
+                if syncStarts[endIdx] < numOnes - tol:
+                    frameEnd = None
+                else:
+                    frameEnd = int(min(syncStarts[endIdx] + 16, syncStarts[-1]))
 
             if frameEnd is None:
                 room = self.maxPacketLenBits - len(self.packetBuffer)

@@ -106,10 +106,15 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False)
             sh_t = jnp.asarray(dopp_shifts)
             centre_hz = centre_shift.astype(jnp.float32) * (spec.sampleRate / N)
             doppler_hz = hz[lowIdx] + (hz[highIdx] - hz[lowIdx]) * frac + centre_hz
-            sl = sh_t[lowIdx].astype(jnp.float32)
-            sh = sh_t[highIdx].astype(jnp.float32)
-            shift = (jnp.round(sl + (sh - sl) * frac).astype(jnp.int32)
-                     + centre_shift)
+            # interpolate on UNWRAPPED shifts: a grid straddling DC has
+            # neighbours ~N-1 and 0, and naive interpolation would land
+            # near N/2 (latent in the reference, demodulator_base.py:609)
+            sh_signed = jnp.mod(sh_t + N // 2, N) - N // 2
+            sl = sh_signed[lowIdx].astype(jnp.float32)
+            sh = sh_signed[highIdx].astype(jnp.float32)
+            shift = jnp.mod(
+                jnp.round(sl + (sh - sl) * frac).astype(jnp.int32) + centre_shift, N
+            )
             snr_db = compute_snr(absS, sh_t[lowIdx] + centre_shift,
                                  sh_t[highIdx] + centre_shift, spec.snr_window, N)
             freq_offset_hz = doppler_hz - spec.centreFreqOffset

@@ -148,8 +148,11 @@ def interpolate_doppler(dopp_idx: float, spec: DemodSpec):
     highIdx = int(np.ceil(dopp_idx))
     frac = dopp_idx % 1
     hz = spec.dopp_hz_lut[lowIdx] + (spec.dopp_hz_lut[highIdx] - spec.dopp_hz_lut[lowIdx]) * frac
-    dcn = spec.dopp_shifts.astype(np.int64)
-    shift = int(np.round(dcn[lowIdx] + (dcn[highIdx] - dcn[lowIdx]) * frac))
+    # unwrap the mod-N shifts before interpolating so a grid straddling
+    # DC does not interpolate across the N-1 -> 0 seam
+    N = spec.Nfft
+    dcn = ((spec.dopp_shifts.astype(np.int64) + N // 2) % N) - N // 2
+    shift = int(np.round(dcn[lowIdx] + (dcn[highIdx] - dcn[lowIdx]) * frac)) % N
     return hz, shift, lowIdx, highIdx
 
 

@@ -244,7 +244,8 @@ class Demodulator:
         idxSymbolWin = dataBits[startOverlap:endOverlap]
 
         self.poswinP = dataBits[endOverlap:]
-        if len(dataBitsWin) > off:
-            self.posSymEnd = dataBitsWin[-off - 1 :]
+        # refresh unconditionally (reference demodulator_base.py:978):
+        # a short window must not leave a stale tail for the next vote
+        self.posSymEnd = dataBitsWin[-off - 1 :]
 
         return centresWin, dataBitsWin, trustSymbolWin, idxSymbolWin

@@ -1,7 +1,6 @@
 from pycusdr_tpu.ops.doppler_search import (
     doppler_energy_matmul,
-    doppler_energy_fft,
-    find_doppler_estimate,
+        find_doppler_estimate,
 )
 from pycusdr_tpu.ops.demod_kernels import (
     apply_best_doppler,
@@ -16,7 +15,6 @@ from pycusdr_tpu.ops.demod_kernels import (
 
 __all__ = [
     "doppler_energy_matmul",
-    "doppler_energy_fft",
     "find_doppler_estimate",
     "apply_best_doppler",
     "find_code_rate_and_phase",

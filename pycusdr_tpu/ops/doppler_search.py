@@ -152,21 +152,6 @@ def doppler_energy_corr(P: jnp.ndarray, Qf_ri: jnp.ndarray, shift_idx_cols: jnp.
     return corr[:, idx].T / ABS_SUM_SCALE
 
 
-def doppler_energy_fft(P: jnp.ndarray, Qf_conj: jnp.ndarray, shifts: jnp.ndarray) -> jnp.ndarray:
-    """Alternative evaluation via circular correlation: for each mask m,
-    corr_m = ifft(fft(P) * conj(fft(Q_m))) gives the energy at *all* N
-    doppler lags; we gather the D grid points. Preferable when D is
-    large (full-bandwidth search) — O(M·N log N) instead of O(D·N·M).
-
-    Qf_conj: (M, N) complex64 constant = conj(fft(|masks_f|^2, axis=1)).
-    """
-    N = P.shape[0]
-    Pf = jnp.fft.fft(P)
-    corr = jnp.fft.ifft(Pf[None, :] * Qf_conj, axis=1).real  # (M, N)
-    E = corr[:, shifts].T  # (D, M)
-    return E * (N / ABS_SUM_SCALE)
-
-
 def _top2_last_axis(vals: jnp.ndarray):
     v, i = jax.lax.top_k(vals, 2)
     return v[..., 0], i[..., 0], v[..., 1], i[..., 1]

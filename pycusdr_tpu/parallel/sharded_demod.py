@@ -156,9 +156,12 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
             highIdx = jnp.clip(jnp.ceil(dopp_idx).astype(jnp.int32), 0, D - 1)
             frac = jnp.mod(dopp_idx, 1.0)
             doppler_hz = hz_r[lowIdx] + (hz_r[highIdx] - hz_r[lowIdx]) * frac
-            sl = shifts_r[lowIdx].astype(jnp.float32)
-            sh = shifts_r[highIdx].astype(jnp.float32)
-            shift = jnp.round(sl + (sh - sl) * frac).astype(jnp.int32)  # (Cl,)
+            # unwrap before interpolating (see dsp/block.py: grids that
+            # straddle DC must not interpolate across the N-1 -> 0 seam)
+            sh_signed = jnp.mod(shifts_r + N // 2, N) - N // 2
+            sl = sh_signed[lowIdx].astype(jnp.float32)
+            sh = sh_signed[highIdx].astype(jnp.float32)
+            shift = jnp.mod(jnp.round(sl + (sh - sl) * frac).astype(jnp.int32), N)  # (Cl,)
             absS = jnp.sqrt(Pw)
             snr_db = jax.vmap(
                 lambda a, lo, hi: compute_snr(a, lo, hi, spec.snr_window, N)

@@ -15,7 +15,7 @@ from pycusdr_tpu.utils.shift_registers import pn9
 
 log = logging.getLogger("pycusdr_tpu." + __name__)
 
-MAX_TX_DATA_LEN = 256
+MAX_TX_DATA_LEN = 255  # the on-air length byte is uint8
 
 
 class Encoder:

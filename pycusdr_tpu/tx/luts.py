@@ -75,8 +75,6 @@ class GFSK2mod(BaseLUT):
     def __init__(self, protocol, confRadio):
         self.spSym = spsym = confRadio["samplesPerSym"]
         self.LUT = _context3_pulse_shapes(spsym, bw=1.0, phase_scale=np.pi / spsym)
-        self.BToD = np.array([4, 2, 1])
-        self.LUTidx = np.array([-1, 0, 1])[:, None]
 
     def modulate(self, bitData, lut):
         bitData = np.asarray(bitData).astype(np.int64)
@@ -93,8 +91,6 @@ class GMSKmod(BaseLUT):
     def __init__(self, protocol, confRadio):
         self.spSym = spsym = confRadio["samplesPerSym"]
         self.LUT = _context3_pulse_shapes(spsym, bw=0.5, phase_scale=np.pi / 2 / spsym)
-        self.BToD = np.array([4, 2, 1])
-        self.LUTidx = np.array([-1, 0, 1])[:, None]
 
     def modulate(self, bitData, lut):
         bitData = np.asarray(bitData).astype(np.int64)
