@@ -51,6 +51,7 @@ class Demodulator:
         self.voteWeight = self.spec.voteWeight
 
         self._process_block = build_process_block(self.spec, jit=jit)
+        self._batched = {}  # batch size -> jitted vmapped graph
         try:
             from pycusdr_tpu.native import c2ri_native as _c2ri
         except Exception:
@@ -144,6 +145,67 @@ class Demodulator:
             )
             self._dump_count += 1
         return bitsWin.astype(np.uint8), centresWin, trustWin.astype(np.int8), spSym
+
+    def processMany(self, hops):
+        """Batched streaming: demodulate K consecutive hops in ONE device
+        dispatch (vmapped graph), then apply the sequential host-side
+        block healing per block.
+
+        ``hops``: (K, Nfft - sigOverlap) complex64 of NEW samples. The
+        overlap-save history is taken from (and left in) the staging
+        buffer, so interleaving processMany with the per-block API is
+        safe. Returns a list of K result dicts like ``process``.
+
+        Batching amortizes the per-dispatch latency — on the tunnelled
+        bench chip it takes the sustained rate from ~600 Msamples/s to
+        1-2.7 Gsamples/s (bench.py).
+        """
+        hops = np.ascontiguousarray(hops, dtype=np.complex64)
+        K, hop = hops.shape
+        if hop != self.Nfft - self.sigOverlap:
+            raise ValueError(f"hop must be {self.Nfft - self.sigOverlap}, got {hop}")
+
+        # host-side overlap-save assembly: block i = [tail(i-1), hop_i].
+        # At-rest convention (same as the per-block API): the staging
+        # buffer's FIRST sigOverlap samples hold the previous tail.
+        blocks = np.empty((K, self.Nfft), np.complex64)
+        tail = self._signal_buffer[: self.sigOverlap].copy()
+        for i in range(K):
+            blocks[i, : self.sigOverlap] = tail
+            blocks[i, self.sigOverlap :] = hops[i]
+            tail = blocks[i, -self.sigOverlap :]
+        self._signal_buffer[: self.sigOverlap] = tail
+
+        fn = self._batched.get(K)
+        if fn is None:
+            import jax
+
+            core = build_process_block(self.spec, jit=False)
+            fn = jax.jit(jax.vmap(core))
+            self._batched[K] = fn
+
+        ri = np.stack([self._c2ri(b) for b in blocks])
+        res = fn(ri)
+        res = {k: np.asarray(v) for k, v in res.items()}
+
+        out = []
+        for i in range(K):
+            self._last = {k: v[i] for k, v in res.items()}
+            r = self._last
+            if self.spec.doppler_search:
+                freqOffset = float(r["freq_offset_hz"])
+                sdev = float(r["quality_db"]) / self.Nfft * self.spec.sampleRate
+                snr = float(r["snr_db"])
+                self.dopplerIdxlast = int(r["shift"])
+            else:
+                freqOffset = sdev = snr = 0.0
+            bits, centres, trust, spSym = self.demodulate()
+            out.append({
+                "bits": bits, "trust": trust, "centres": centres,
+                "spSymEst": spSym, "doppler": freqOffset,
+                "doppler_std": sdev, "SNR": snr,
+            })
+        return out
 
     def process(self, samples=None):
         """Single-call convenience API: both phases + the stats bundle."""

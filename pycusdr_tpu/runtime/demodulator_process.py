@@ -209,55 +209,94 @@ class Demodulator_process(Process):
         log.info("[%s]: Demodulator process running", self.radioName)
         orig_sigterm = signal.getsignal(signal.SIGTERM)
         signal.signal(signal.SIGTERM, lambda *_: None)
+        maxBatch = self.confGPU.get("TPU", {}).get("maxBatchBlocks", 4)
+        if maxBatch > 1:
+            # pre-compile the vmapped batch graph so it never stalls the
+            # live stream (a mid-stream jit would overflow the ring)
+            demod.processMany(np.zeros((maxBatch, self.samplesPerSlice), np.complex64))
+            raw[:] = 0
+
+        def ship(d):
+            try:
+                # NOBLOCK: a stalled combiner/decoder must drop blocks,
+                # not wedge the demodulator (real-time)
+                demodOut.send_pyobj(d, zmq.NOBLOCK)
+            except zmq.error.Again as e:
+                log.error("[%s]: failed to send to decoder [%s]", self.radioName, e)
+            if demodOutClient is not None:
+                try:
+                    demodOutClient.send_pyobj(d, zmq.NOBLOCK)
+                except zmq.error.Again as e:
+                    log.warning("[%s]: failed to send to external decoder [%s]",
+                                self.radioName, e)
+
         try:
             while self.runStatus.is_set():
                 try:
-                    raw[self.overlap :] = sigIn.getBlock()
-                    data["timestamp"] = timeStamp = time.time()
-                    data["count"] = count
-                    (data["doppler"], data["doppler_std"], _thresholdIdx,
-                     data["SNR"]) = demod.uploadAndFindCarrier(raw)
-                    data["data"], centres, data["trust"], data["spSymEst"] = demod.demodulate()
-                    data["baudRate_est"] = self.Fs / max(data["spSymEst"], 1e-9)
+                    hops = sigIn.getBlocks(maxBatch)
+                    if len(hops) == maxBatch > 1:
+                        # fell behind by a full batch: demodulate the
+                        # backlog in ONE pre-compiled vmapped dispatch
+                        # (smaller backlogs take the single-block path —
+                        # one compiled graph per shape, no live stalls)
+                        timeStamp = time.time()
+                        for res in demod.processMany(np.stack(hops)):
+                            data["timestamp"] = time.time()
+                            data["count"] = count
+                            data["doppler"] = res["doppler"]
+                            data["doppler_std"] = res["doppler_std"]
+                            data["SNR"] = res["SNR"]
+                            data["data"] = res["bits"]
+                            data["trust"] = res["trust"]
+                            data["spSymEst"] = res["spSymEst"]
+                            data["baudRate_est"] = self.Fs / max(res["spSymEst"], 1e-9)
+                            _, _, data["rangerate"] = self.computeTxFreqOffset(
+                                res["doppler"], res["spSymEst"]
+                            )
+                            self.SNRStats(res["SNR"], res["spSymEst"])
+                            ship(data)
+                            count += 1
+                        dt = (time.time() - timeStamp) / len(hops)
+                        self.computeMATime(dt)
+                        log.debug("[%s]: batch of %d blocks, %.2f ms/block",
+                                  self.radioName, len(hops), dt * 1000)
+                        continue
 
-                    TxFreqOffset, RxFreqOffset, data["rangerate"] = self.computeTxFreqOffset(
-                        data["doppler"], data["spSymEst"]
-                    )
-                    self.SNRStats(data["SNR"], data["spSymEst"])
+                    for hop in hops:  # partial backlogs: per-block path
+                        raw[self.overlap :] = hop
+                        data["timestamp"] = timeStamp = time.time()
+                        data["count"] = count
+                        (data["doppler"], data["doppler_std"], _thresholdIdx,
+                         data["SNR"]) = demod.uploadAndFindCarrier(raw)
+                        data["data"], centres, data["trust"], data["spSymEst"] = demod.demodulate()
+                        data["baudRate_est"] = self.Fs / max(data["spSymEst"], 1e-9)
 
-                    try:
-                        # NOBLOCK: a stalled combiner/decoder must drop
-                        # blocks, not wedge the demodulator (real-time)
-                        demodOut.send_pyobj(data, zmq.NOBLOCK)
-                    except zmq.error.Again as e:
-                        log.error("[%s]: failed to send to decoder [%s]", self.radioName, e)
-                    if demodOutClient is not None:
-                        try:
-                            demodOutClient.send_pyobj(data, zmq.NOBLOCK)
-                        except zmq.error.Again as e:
-                            log.warning("[%s]: failed to send to external decoder [%s]",
-                                        self.radioName, e)
-
-                    timeSpend = time.time() - timeStamp
-                    self.computeMATime(timeSpend)
-                    printStats = (self.PRINT_THRESHOLD_ENABLED
-                                  and float(data["SNR"]) > self.PRINT_THRESHOLD_LVL)
-                    if (log.getEffectiveLevel() < logging.INFO
-                            or count % self.PRINT_NTH_BLOCK == 0
-                            or self.PRINT_ALWAYS or printStats):
-                        log.info(
-                            "[%s]: freq offset % 6.0f Hz, sd % 5.5f Hz, TxFreqOffset %4.0f Hz, "
-                            "SNR % 2.1f dB, est spsym % 3.2f, time % 3.2f ms (avg % 3.2f ms), "
-                            "rate %5.0f ksamples/s (avg %5.0f)",
-                            self.radioName, data["doppler"], data["doppler_std"],
-                            TxFreqOffset, data["SNR"], data["spSymEst"],
-                            timeSpend * 1000, self.timeMA * 1000,
-                            self.samplesPerSlice / timeSpend / 1000,
-                            self.samplesPerSlice / max(self.timeMA, 1e-9) / 1000,
+                        TxFreqOffset, RxFreqOffset, data["rangerate"] = self.computeTxFreqOffset(
+                            data["doppler"], data["spSymEst"]
                         )
+                        self.SNRStats(data["SNR"], data["spSymEst"])
+                        ship(data)
 
-                    raw[: self.overlap] = raw[-self.overlap :]
-                    count += 1
+                        timeSpend = time.time() - timeStamp
+                        self.computeMATime(timeSpend)
+                        printStats = (self.PRINT_THRESHOLD_ENABLED
+                                      and float(data["SNR"]) > self.PRINT_THRESHOLD_LVL)
+                        if (log.getEffectiveLevel() < logging.INFO
+                                or count % self.PRINT_NTH_BLOCK == 0
+                                or self.PRINT_ALWAYS or printStats):
+                            log.info(
+                                "[%s]: freq offset % 6.0f Hz, sd % 5.5f Hz, TxFreqOffset %4.0f Hz, "
+                                "SNR % 2.1f dB, est spsym % 3.2f, time % 3.2f ms (avg % 3.2f ms), "
+                                "rate %5.0f ksamples/s (avg %5.0f)",
+                                self.radioName, data["doppler"], data["doppler_std"],
+                                TxFreqOffset, data["SNR"], data["spSymEst"],
+                                timeSpend * 1000, self.timeMA * 1000,
+                                self.samplesPerSlice / timeSpend / 1000,
+                                self.samplesPerSlice / max(self.timeMA, 1e-9) / 1000,
+                            )
+
+                        raw[: self.overlap] = raw[-self.overlap :]
+                        count += 1
                 except (TimeoutError, ConnectionRefusedError):
                     log.info("[%s]: ZMQ from GRC timed out", self.radioName)
                     count = 0

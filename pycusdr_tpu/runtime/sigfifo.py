@@ -74,7 +74,9 @@ class RingBuffer:
             self.tailIdx = noSamples - Nmid
             data[Nmid:] = self.buf[: self.tailIdx]
         else:
-            data = self.buf[self.tailIdx : popEnd]
+            # copy: returning a view would let later inserts overwrite
+            # a popped block the caller is still holding
+            data = self.buf[self.tailIdx : popEnd].copy()
             self.tailIdx = 0 if popEnd == self.bufLen else popEnd
         self.currentBufSize -= noSamples
         return data
@@ -161,3 +163,23 @@ class SigFIFO:
                         sys.exit()
             data = self.buf.popBlock(self.blockSize)
         return data
+
+    def getBlocks(self, max_n: int = 1):
+        """One blocking block plus up to ``max_n - 1`` more that are
+        already buffered (no extra waiting) — lets the demodulator batch
+        several hops into one device dispatch when it falls behind.
+
+        Pops eagerly between single-message inserts: draining the whole
+        socket backlog first would overflow the ring (it holds only a
+        few hops) and flush-drop samples mid-packet."""
+        out = [self.getBlock()]
+        while len(out) < max_n:
+            nxt = self.buf.popBlock(self.blockSize)
+            if len(nxt):
+                out.append(nxt)
+                continue
+            evts = self.poller.poll(0)
+            if not evts:
+                break
+            self.buf.insert(np.frombuffer(self.socket.recv(), dtype=self.dtype))
+        return out
