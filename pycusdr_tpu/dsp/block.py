@@ -186,3 +186,29 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False)
         kwargs = {"donate_argnums": (0,)} if donate else {}
         return jax.jit(process_block, **kwargs)
     return process_block
+
+
+def build_process_stream(spec: DemodSpec, jit: bool = True):
+    """Whole-capture processor: ``stream(hops_ri, carry_ri) -> (res, carry)``.
+
+    ``hops_ri``: (K, 2, hop) split-complex new samples; ``carry_ri``:
+    (2, sigOverlap) tail from the previous call. One ``lax.scan`` walks
+    the overlap-save chain entirely on device — a single dispatch
+    demodulates an arbitrary capture (offline pass reprocessing at full
+    chip rate; the real-time path uses the vmapped batch instead because
+    its blocks are independent once assembled).
+    """
+    core = build_process_block(spec, jit=False)
+    ov = spec.sigOverlap
+
+    def step(carry, hop_ri):
+        block = jnp.concatenate([carry, hop_ri], axis=-1)  # (2, Nfft)
+        res = core(block)
+        res.pop("E")
+        return block[:, -ov:], res
+
+    def stream(hops_ri, carry_ri):
+        carry, res = jax.lax.scan(step, carry_ri, hops_ri)
+        return res, carry
+
+    return jax.jit(stream) if jit else stream

@@ -71,3 +71,37 @@ def test_sigfifo_getblocks_drains_backlog():
     np.testing.assert_array_equal(got, data[:3000])
     pub.close()
     ctx.term()
+
+
+def test_scan_stream_matches_sequential(bench_conf):
+    """The on-device lax.scan capture processor equals per-block calls."""
+    import jax
+
+    from pycusdr_tpu.dsp.block import build_process_block, build_process_stream
+    from pycusdr_tpu.dsp.spec import build_spec
+    from pycusdr_tpu.ops.cfft import c2ri
+
+    protocol = loadProtocol("bench_FSK")(conf=bench_conf)
+    spec = build_spec(bench_conf, protocol, "UHF-H")
+    N, ov = spec.Nfft, spec.sigOverlap
+    hop = N - ov
+    K = 5
+    rng = np.random.RandomState(8)
+    bits = rng.randint(0, 2, (ov + hop * K) // 16 + 8)
+    sig = make_fsk_signal(bits, 16, 38400 / spec.sampleRate, seed=5, noise_std=0.05)
+    sig = np.r_[sig, np.zeros(hop * K + ov, np.complex64)]
+
+    stream = build_process_stream(spec)
+    carry = c2ri(sig[:ov])
+    hops = np.stack([c2ri(sig[ov + i * hop : ov + (i + 1) * hop]) for i in range(K)])
+    res, carry_out = stream(hops, carry)
+
+    single = build_process_block(spec, jit=True)
+    for i in range(K):
+        block = sig[i * hop : i * hop + N]
+        ref = {k: np.asarray(v) for k, v in single(c2ri(block)).items()}
+        n = int(ref["nBits"])
+        np.testing.assert_array_equal(np.asarray(res["bits"])[i, :n], ref["bits"][:n],
+                                      err_msg=f"scan block {i}")
+    np.testing.assert_allclose(np.asarray(carry_out), c2ri(sig[hop * K : hop * K + ov]),
+                               rtol=1e-6)

@@ -69,3 +69,46 @@ def test_reacquires_after_loss(tracker_env):
     for _ in range(tracker.lost_limit + 1):
         res = tracker.process(c2ri(noise_block))
     assert tracker.state == ACQUIRING, "tracker did not fall back to acquisition"
+
+
+def test_full_leo_pass_s_curve():
+    """A complete LEO pass: the Doppler follows the classic S-curve
+    (fast swing through closest approach). The tracker must stay locked
+    through the whole pass and keep its error within ~1 bin."""
+    import __graft_entry__ as g
+
+    spec = g.tiny_spec()
+    tracker = DopplerTracker(spec=spec, track_bins=8, track_span_bins=16,
+                             snr_threshold_db=3.0, lost_limit=3, history=6)
+
+    N = spec.Nfft
+    fs = spec.sampleRate
+    n_blocks = 60
+    rng = np.random.RandomState(11)
+    nbits = (N * n_blocks) // int(spec.spsym) + 4
+    bits = rng.randint(0, 2, nbits)
+    base = make_fsk_signal(bits, int(spec.spsym), 0.0, seed=11, noise_std=0.05)
+
+    # S-curve: doppler = -A * tanh((t - t0)/tau), A = 12 bins
+    bin_hz = fs / N
+    t = np.arange(N * n_blocks) / N
+    A = 12 * bin_hz
+    f_inst = spec.centreFreqOffset - A * np.tanh((t - n_blocks / 2) / (n_blocks / 6))
+    phase = 2 * np.pi * np.cumsum(f_inst) / fs
+    sig = (base[: N * n_blocks] * np.exp(1j * phase)).astype(np.complex64)
+    blocks = sig.reshape(n_blocks, N)
+    tmid = (np.arange(n_blocks) + 0.5)
+    truth = spec.centreFreqOffset - A * np.tanh((tmid - n_blocks / 2) / (n_blocks / 6))
+
+    modes, est = [], []
+    for b in blocks:
+        res = tracker.process(c2ri(b))
+        modes.append(res["mode"])
+        est.append(float(res["doppler_hz"]))
+
+    track_frac = np.mean(np.asarray(modes) == TRACKING)
+    assert track_frac > 0.8, f"tracker spent only {track_frac:.0%} of the pass locked"
+    locked = [i for i, m in enumerate(modes) if m == TRACKING]
+    errs = np.abs(np.asarray(est)[locked] - truth[locked])
+    assert np.median(errs) < 1.5 * bin_hz, f"median track error {np.median(errs):.0f} Hz"
+    assert np.max(errs) < 4 * bin_hz, f"max track error {np.max(errs):.0f} Hz"
