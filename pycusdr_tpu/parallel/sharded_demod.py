@@ -95,11 +95,9 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
     W = spec.windowWidth
     if M % nd:
         raise ValueError(f"num_masks={M} must divide by dopp axis size {nd}")
-    if spec.bitLUT is None:
-        raise NotImplementedError(
-            "sharded demod step needs a centre-bit LUT protocol; "
-            "NRZ-S (BPSK) disambiguation runs on the single-chip path"
-        )
+    # centre-bit LUT protocols and NRZ-S (BPSK) transition-LUT
+    # protocols are both supported: the global symbols are known after
+    # the cross-shard argmax, so bit extraction is shard-local
     Ml = M // nd
 
     # doppler grid padded to a multiple of nd (pad rows repeat the last
@@ -119,6 +117,7 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
     hz_lut = spec.dopp_hz_lut.astype(np.float32)
     dopp_shifts = spec.dopp_shifts.astype(np.int32)
     bitLUT = None if spec.bitLUT is None else spec.bitLUT.astype(np.int8)
+    symLUT = None if spec.symbolLUT is None else spec.symbolLUT.astype(np.int32)
     # clamp: a fractional voteWeight config must not truncate to 0
     trust_normal = np.int8(max(1, int(TRUST_NORMAL * spec.voteWeight)))
     numSymMax = spec.numSymMax
@@ -218,9 +217,19 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
             + comp
         )
 
-        bits = jnp.take(lut_r, symbols, axis=0).astype(jnp.int8)
         slot = jnp.arange(numSymMax, dtype=jnp.int32)[None, :]
         trust = jnp.where(slot < nSym[:, None], trust_normal, jnp.int8(-1))
+        if bitLUT is not None:
+            bits = jnp.take(lut_r, symbols, axis=0).astype(jnp.int8)
+            nBits = nSym
+        else:
+            from pycusdr_tpu.ops.demod_kernels import extract_bits_nrzs
+
+            bits, err = jax.vmap(
+                lambda sy: extract_bits_nrzs(sy, lut_r)
+            )(symbols)
+            trust = jnp.where(err, jnp.int8(-1), trust)
+            nBits = nSym - 1
 
         if clipped is not None:
             # trust -2 within ±2·spSym of clipped interference, matching
@@ -243,6 +252,7 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
             "centres": centres,
             "mags": best_val,
             "nSym": nSym,
+            "nBits": nBits,
             "spSym": spSym,
             "doppler_hz": doppler_hz,
             "freq_offset_hz": freq_offset_hz,
@@ -263,7 +273,8 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
     rep = P()
     out_specs = {
         "bits": ch, "trust": ch, "symbols": ch, "centres": ch, "mags": ch,
-        "nSym": P("channel"), "spSym": P("channel"), "doppler_hz": P("channel"),
+        "nSym": P("channel"), "nBits": P("channel"), "spSym": P("channel"),
+        "doppler_hz": P("channel"),
         "freq_offset_hz": P("channel"), "quality_db": P("channel"),
         "snr_db": P("channel"), "shift": P("channel"),
     }
@@ -282,7 +293,8 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
             P(None, None),        # Q_T
             P(None),              # hz lut
             P(None),              # doppler shifts
-            P(None),              # bit LUT
+            # bit LUT (1-D) or NRZ-S symbol LUT (3-D), replicated
+            P(None) if bitLUT is not None else P(None, None, None),
         ),
         out_specs=out_specs,
         check_vma=False,
@@ -295,7 +307,7 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
         jnp.asarray(Q_T),
         jnp.asarray(hz_lut),
         jnp.asarray(dopp_shifts),
-        jnp.asarray(bitLUT),
+        jnp.asarray(bitLUT if bitLUT is not None else symLUT),
     )
     blocks_sharding = NamedSharding(mesh, P("channel", None, None))
 

@@ -97,3 +97,50 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sharded_step_bpsk_nrzs(tiny):
+    """NRZ-S (BPSK) transition-LUT bit extraction under mask sharding
+    must match the single-chip path."""
+    import dataclasses
+
+    import __graft_entry__ as g
+    from pycusdr_tpu.dsp.signal_gen import modulate_bpsk
+    from pycusdr_tpu.dsp.spec import build_spec
+    from pycusdr_tpu.protocol import loadProtocol
+
+    conf = g._conf(blockSize=9, overlap=7, spsym=8, doppSteps=16, windowWidth=5,
+                   maskSize=4)  # bench_BPSK defines NRZ-S LUTs for maskLen 4/5
+    conf["Main"]["protocols"] = {"UHF": "bench_BPSK"}
+    protocol = loadProtocol("bench_BPSK")(conf=conf)
+    spec = build_spec(conf, protocol, "UHF-H")
+    assert spec.bitLUT is None and spec.symbolLUT is not None
+
+    rng = np.random.RandomState(12)
+    nbits = spec.Nfft // int(spec.spsym)
+    bits = rng.randint(0, 2, nbits)
+    nb = modulate_bpsk(bits, int(spec.spsym))
+    n = np.arange(len(nb))
+    offs = spec.centreFreqOffset / spec.sampleRate
+    base_sig = (nb * np.exp(2j * np.pi * offs * n)).astype(np.complex64)
+    blocks = np.stack([
+        (base_sig + (0.02 * (np.random.RandomState(20 + c).randn(len(base_sig))
+                             + 1j * np.random.RandomState(40 + c).randn(len(base_sig))))
+         ).astype(np.complex64)[: spec.Nfft]
+        for c in range(4)
+    ])
+
+    mesh = make_mesh({"channel": 4, "dopp": 2})
+    step = build_sharded_demod_step(spec, mesh)
+    res = step(c2ri(blocks))
+
+    single = build_process_block(spec, jit=True)
+    for c in range(4):
+        ref = {k: np.asarray(v) for k, v in single(c2ri(blocks[c])).items()}
+        nb_ = int(ref["nBits"])
+        np.testing.assert_array_equal(
+            np.asarray(res["bits"])[c, :nb_], ref["bits"][:nb_], err_msg=f"chan {c}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res["trust"])[c, :nb_], ref["trust"][:nb_], err_msg=f"trust {c}"
+        )
