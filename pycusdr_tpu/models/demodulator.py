@@ -16,6 +16,7 @@ import numpy as np
 
 from pycusdr_tpu.dsp.block import build_process_block
 from pycusdr_tpu.dsp.spec import DemodSpec, build_spec
+from pycusdr_tpu.models.healing import BlockHealer
 from pycusdr_tpu.ops.cfft import c2ri
 
 log = logging.getLogger("pycusdr_tpu." + __name__)
@@ -51,6 +52,12 @@ class Demodulator:
         self.voteWeight = self.spec.voteWeight
 
         self._process_block = build_process_block(self.spec, jit=jit)
+        self.healer = BlockHealer(
+            self.Nfft, self.sigOverlap,
+            overlapOffset=self.overlapOffset,
+            error_threshold=self.symbol_check_error_threshold,
+            match_num_errors_allowed=self.overlapOffset - self.symbol_check_match_threshold,
+        )
         self._batched = {}  # batch size -> jitted vmapped graph
         try:
             from pycusdr_tpu.native import c2ri_native as _c2ri
@@ -59,10 +66,6 @@ class Demodulator:
         self._c2ri = _c2ri
         self._signal_buffer = np.zeros(self.Nfft, dtype=np.complex64)
         self._last = None  # device results of the current block
-
-        # healing state across blocks
-        self.poswinP = np.array([], dtype=np.int8)  # post-window bits of prev block
-        self.posSymEnd = np.array([], dtype=np.int8)
 
         self.dopplerIdxlast = 0
         self.clippedPeakIPure = np.array([], dtype=np.int64)
@@ -224,90 +227,6 @@ class Demodulator:
     # ---------------- block-boundary healing ----------------
 
     def checkSymbolOverlap(self, noError, centres, idxSymbol, dataBits, trustSymbol):
-        """±1-symbol alignment of consecutive blocks.
-
-        Port of reference ``demodulator_base.py:863-988``: compare the
-        saved tail of the previous block against the head of this one
-        under on-time / one-early / one-late hypotheses and drop or
-        duplicate one boundary bit when both ends agree.
-        """
-        startCand = np.where(centres >= self.sigOverlapWin)[0]
-        endCand = np.where(centres > (self.Nfft - self.sigOverlapWin))[0]
-        startOverlap = int(startCand[0]) if len(startCand) else 0
-        endOverlap = int(endCand[0]) if len(endCand) else len(centres)
-
-        idxSymbolWin = dataBits[startOverlap:endOverlap]
-        idxSymbolPreWin = dataBits[:startOverlap]
-
-        off = self.overlapOffset
-        allowed = off - self.symbol_check_match_threshold  # errors tolerated at full window
-
-        def _match(a, b):
-            """Match count and effective threshold over the common length.
-
-            The reference compares fixed 20-symbol slices and silently
-            fails when the post-window tail is shorter (it throws into
-            its except clause, demodulator_base.py:965-967). We compare
-            over the common length with a proportionally scaled error
-            allowance, so healing also works near minimal tails.
-            """
-            L = min(len(a), len(b), off)
-            if L < 4:
-                return -1, 0
-            matches = int(np.sum(np.asarray(a[:L]) == np.asarray(b[:L])))
-            thr_l = L - max(1, int(round(allowed * L / off)))
-            return matches, thr_l
-
-        try:
-            if noError > self.symbol_check_error_threshold:
-                log.debug("Too many symbol errors -- skip overlap check")
-            elif len(self.poswinP) > 0 and len(idxSymbolWin) > 1:
-                pre = self.poswinP
-                symPre, thrP = _match(pre, idxSymbolWin)
-                symEarlyPre, thrEP = _match(pre, idxSymbolWin[1:])
-                symLatePre, thrLP = _match(pre[1:], idxSymbolWin)
-
-                tail_prev = self.posSymEnd
-                tail_cur = idxSymbolPreWin
-                Lt = min(len(tail_prev) - 1, len(tail_cur), off)
-                if Lt >= 4:
-                    symPos = int(np.sum(tail_prev[-Lt:] == tail_cur[-Lt:]))
-                    symEarlyPos = int(np.sum(tail_prev[-Lt - 1 : -1] == tail_cur[-Lt:]))
-                    symLatePos = int(
-                        np.sum(tail_prev[-Lt:] == tail_cur[-Lt - 1 : -1])
-                    ) if len(tail_cur) > Lt else -1
-                    thrT = Lt - max(1, int(round(allowed * Lt / off)))
-                else:
-                    symPos = symEarlyPos = symLatePos = -1
-                    thrT = 0
-
-                if symPre >= thrP and symPre >= max(symEarlyPre, symLatePre):
-                    pass  # on-time
-                else:
-                    maxPre = max(symPre, symEarlyPre, symLatePre)
-                    if symEarlyPre >= thrEP and symEarlyPre == maxPre:
-                        # current window repeats the prev block's last bit
-                        if symEarlyPos < 0 or symEarlyPos >= max(symPos, thrT):
-                            log.debug("overlap healing: removed duplicated first bit")
-                            startOverlap += 1
-                    elif symLatePre >= thrLP and symLatePre == maxPre:
-                        # one bit was dropped at the boundary
-                        if symLatePos < 0 or symLatePos >= max(symPos, thrT):
-                            log.debug("overlap healing: re-inserted dropped first bit")
-                            startOverlap -= 1
-        except Exception as e:  # healing must never kill the stream
-            log.error("symbol overlap healing failed:")
-            log.exception(e)
-
-        startOverlap = max(startOverlap, 0)
-        dataBitsWin = dataBits[startOverlap:endOverlap]
-        trustSymbolWin = trustSymbol[startOverlap:endOverlap]
-        centresWin = centres[startOverlap:endOverlap]
-        idxSymbolWin = dataBits[startOverlap:endOverlap]
-
-        self.poswinP = dataBits[endOverlap:]
-        # refresh unconditionally (reference demodulator_base.py:978):
-        # a short window must not leave a stale tail for the next vote
-        self.posSymEnd = dataBitsWin[-off - 1 :]
-
-        return centresWin, dataBitsWin, trustSymbolWin, idxSymbolWin
+        """±1-symbol block-boundary alignment; see models/healing.py
+        (port of reference demodulator_base.py:863-988)."""
+        return self.healer.heal(noError, centres, idxSymbol, dataBits, trustSymbol)

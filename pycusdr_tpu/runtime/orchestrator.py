@@ -161,13 +161,29 @@ class PyCuSDR:
                 log.info("SoftCombiner not started. Sending bits directly to decoder")
             self.combiner = combProc
 
-            # Rx demodulators
+            # Rx demodulators: one process per channel (reference model),
+            # or one lockstep channel-group process demodulating every
+            # channel in a single device dispatch + on-device vote
+            # (TPU-native path for clock-shared antennas / channelizer
+            # outputs; see runtime/channel_group_process.py)
             self._demodulators = []
-            for radio in self.radios:
-                protocolName = self.configFile["Radios"]["Rx"][radio]["Protocol"]
-                self._demodulators.append(
-                    Demodulator_process(self.configFile, self.protocols[protocolName], radio)
+            groupEnabled = self.configFile["Main"].get("channelGroup_enabled", False)
+            if groupEnabled and len(self.radios) > 1:
+                from pycusdr_tpu.runtime.channel_group_process import ChannelGroup_process
+
+                protocolName = next(
+                    iter(self.configFile["Radios"]["Rx"].values())
+                )["Protocol"]
+                grp = ChannelGroup_process(
+                    self.configFile, self.protocols[protocolName], list(self.radios)
                 )
+                self._demodulators.append(grp)
+            else:
+                for radio in self.radios:
+                    protocolName = self.configFile["Radios"]["Rx"][radio]["Protocol"]
+                    self._demodulators.append(
+                        Demodulator_process(self.configFile, self.protocols[protocolName], radio)
+                    )
             tasks.extend(self._demodulators)
 
             # decoder (kept as attribute: stats are fetched at shutdown)
