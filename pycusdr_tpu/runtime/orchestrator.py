@@ -41,6 +41,9 @@ class PyCuSDR:
 
         self._init_protocols()
         self.radios = self.configFile["Radios"]["Rx"].keys()
+        self._restart_enabled = self.configFile["Main"].get("restartDeadProcesses", False)
+        self._max_restarts = self.configFile["Main"].get("maxProcessRestarts", 3)
+        self._restarts = 0
         self._init_SDR()
         self._running = False
         self.killer = None
@@ -54,7 +57,13 @@ class PyCuSDR:
         self.killer = GracefulKiller()
 
     def is_alive(self):
-        """False when killed, every demod timed out, or a process died."""
+        """False when killed, every demod timed out, or a process died.
+
+        With ``Main.restartDeadProcesses`` a crashed worker is rebuilt
+        from its factory and restarted (up to ``maxProcessRestarts``
+        times) instead of aborting the pass — elastic recovery the
+        reference does not have (its watchdog always aborts,
+        pyCuSDR.py:112-115)."""
         if self.killer is not None and self.killer.kill_now:
             log.debug("killed")
             return False
@@ -62,11 +71,39 @@ class PyCuSDR:
         if self._demodulators and demodTimeouts == len(self._demodulators):
             log.debug("all demodulators timed out")
             return False
-        for t in self.tasks:
+        for i, t in enumerate(self.tasks):
             time.sleep(0.1)
             if not t.is_alive():
+                if (self._restart_enabled
+                        and self._restarts < self._max_restarts
+                        and self._task_factories[i] is not None):
+                    self._restarts += 1
+                    log.error("Process %s died -- restarting (%d/%d)",
+                              t.name, self._restarts, self._max_restarts)
+                    new_t = self._task_factories[i]()
+                    self._replace_task(i, t, new_t)
+                    new_t.start()
+                    continue
                 raise Exception(f"Process {t.name} died unexpectedly -- shutting down")
         return True
+
+    def _replace_task(self, i, old, new):
+        self.tasks[i] = new
+        for coll in (self._demodulators, self._modulators):
+            for j, x in enumerate(coll):
+                if x is old:
+                    coll[j] = new
+        if old is self.dec:
+            self.dec = new
+        # keep the RPC thread pointed at live processes
+        if self.rpcInt is not None:
+            if isinstance(self.rpcInt.demodulator, list):
+                for j, x in enumerate(self.rpcInt.demodulator):
+                    if x is old:
+                        self.rpcInt.demodulator[j] = new
+            for k, v in list(getattr(self.rpcInt, "modulator", {}).items()):
+                if v is old:
+                    self.rpcInt.modulator[k] = new
 
     def run(self):
         try:
@@ -135,15 +172,19 @@ class PyCuSDR:
         try:
             log.info("Utilizing %d channels: %s", len(self.radios), ", ".join(self.radios))
             self.tasks = tasks = []
+            # one factory per task (same index) so a crashed worker can
+            # be rebuilt when restartDeadProcesses is enabled
+            self._task_factories = factories = []
 
             # Tx modulators (one per Tx radio, protocol from config)
             self._modulators = []
             if "Tx" in self.configFile["Radios"]:
                 for m in self.configFile["Radios"]["Tx"].keys():
                     modProtocol = self.configFile["Radios"]["Tx"][m]["Protocol"]
-                    self._modulators.append(
-                        Modulator_process(self.configFile, self.protocols[modProtocol], m)
-                    )
+                    mk = (lambda name=m, prot=modProtocol:
+                          Modulator_process(self.configFile, self.protocols[prot], name))
+                    self._modulators.append(mk())
+                    factories.append(mk)
                 tasks.extend(self._modulators)
             else:
                 log.warning("Modulator not initialized ('Tx' not in config)")
@@ -153,6 +194,7 @@ class PyCuSDR:
             if softCombinerEnabled and len(self.radios) > 1:
                 combProc = SoftCombiner(self.configFile)
                 tasks.append(combProc)
+                factories.append(lambda: SoftCombiner(self.configFile))
                 log.info("SoftCombiner initialized.")
             else:
                 self.configFile["Interfaces"]["Internal"]["decodeIn"] = \
@@ -174,21 +216,24 @@ class PyCuSDR:
                 protocolName = next(
                     iter(self.configFile["Radios"]["Rx"].values())
                 )["Protocol"]
-                grp = ChannelGroup_process(
-                    self.configFile, self.protocols[protocolName], list(self.radios)
-                )
-                self._demodulators.append(grp)
+                mk = (lambda prot=protocolName:
+                      ChannelGroup_process(self.configFile, self.protocols[prot],
+                                           list(self.radios)))
+                self._demodulators.append(mk())
+                factories.append(mk)
             else:
                 for radio in self.radios:
                     protocolName = self.configFile["Radios"]["Rx"][radio]["Protocol"]
-                    self._demodulators.append(
-                        Demodulator_process(self.configFile, self.protocols[protocolName], radio)
-                    )
+                    mk = (lambda r=radio, prot=protocolName:
+                          Demodulator_process(self.configFile, self.protocols[prot], r))
+                    self._demodulators.append(mk())
+                    factories.append(mk)
             tasks.extend(self._demodulators)
 
             # decoder (kept as attribute: stats are fetched at shutdown)
             self.dec = Decoder(self.configFile, self.protocols)
             tasks.append(self.dec)
+            factories.append(lambda: Decoder(self.configFile, self.protocols))
 
             # control plane
             if self.configFile.get("RPC", {}).get("enabled", True):

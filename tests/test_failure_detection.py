@@ -86,3 +86,74 @@ def test_grc_timeout_ends_pass_gracefully():
             sdr.terminate()
         except Exception:
             pass
+
+
+def test_elastic_restart_recovers_decoder():
+    """New capability over the reference: with restartDeadProcesses the
+    watchdog rebuilds a crashed worker instead of aborting the pass, and
+    the pipeline keeps decoding."""
+    import signal as _sig
+
+    import zmq
+
+    os.environ["PYCUSDR_JAX_PLATFORM"] = "cpu"
+    from pycusdr_tpu.dsp.signal_gen import get_padded_packet, packet_data
+    from pycusdr_tpu.runtime.orchestrator import PyCuSDR
+
+    conf = _conf(31200)
+    conf["Main"]["restartDeadProcesses"] = True
+    conf["Main"]["maxProcessRestarts"] = 2
+    conf["Demodulator"] = {"timeoutSeconds": 600}
+
+    bits = packet_data(1000, 123)
+    fs = 9600 * 16
+    sig, _ = get_padded_packet("FSK", 16, fs, offset_freq=38400, raw_bits=bits, pad=6000)
+    sig = sig.astype(np.complex64)
+
+    ctx = zmq.Context()
+    pub = ctx.socket(zmq.PUB)
+    pub.bind("tcp://127.0.0.1:31200")
+    sink = ctx.socket(zmq.PULL)
+    sink.connect("tcp://localhost:31203")
+    sink.setsockopt(zmq.RCVTIMEO, 1500)
+
+    sdr = PyCuSDR(conf, args=None)
+    sdr.start()
+    try:
+        time.sleep(3.0)
+        old_pid = sdr.dec.pid
+        os.kill(old_pid, _sig.SIGKILL)
+        sdr.dec.join(timeout=5)
+
+        # the watchdog must restart it rather than raise
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            assert sdr.is_alive()
+            if sdr.dec.pid != old_pid and sdr.dec.is_alive():
+                break
+            time.sleep(0.2)
+        assert sdr.dec.pid != old_pid, "decoder was not restarted"
+
+        # pipeline still decodes after the restart
+        time.sleep(2.0)
+        step = 2**13 - 2**10
+        stream = np.r_[sig, np.zeros(6 * step, np.complex64)]
+        payload = None
+        for _ in range(15):
+            for pos in range(0, len(stream) - step, step):
+                pub.send(stream[pos : pos + step].tobytes())
+                time.sleep(0.02)
+            try:
+                payload = sink.recv()
+                break
+            except zmq.error.Again:
+                continue
+        assert payload is not None, "no packet decoded after restart"
+    finally:
+        try:
+            sdr.terminate()
+        except Exception:
+            pass
+        pub.close()
+        sink.close()
+        ctx.term()
