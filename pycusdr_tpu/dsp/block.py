@@ -22,7 +22,7 @@ import numpy as np
 from pycusdr_tpu.dsp.spec import DemodSpec
 from pycusdr_tpu.ops.cfft import c2ri, fft_ri
 from pycusdr_tpu.ops.demod_kernels import (
-    apply_best_doppler,
+    apply_best_doppler_power,
     compute_snr,
     dilate_mask_dynamic,
     extract_bits_lut,
@@ -127,8 +127,7 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False)
             snr_db = jnp.float32(0.0)
             shift = jnp.int32(spec.dopp_offset_idx)
 
-        X = apply_best_doppler(S, jnp.asarray(masks_ri), shift)  # (M, 2, N)
-        P2 = X[:, 0] ** 2 + X[:, 1] ** 2  # (M, N)
+        P2 = apply_best_doppler_power(S, jnp.asarray(masks_ri), shift)  # (M, N)
 
         spSym, codeOffset, code_val = find_code_rate_and_phase(
             P2, spec.code_idx_lo, spec.code_idx_hi, N, spec.code_search_mask_offset

@@ -167,6 +167,39 @@ def ifft_unnorm_ri(x):
     return jnp.stack([re, -im], axis=-2)
 
 
+def ifft_unnorm_power_ri(x):
+    """|N·ifft(x)|² with the magnitude fused into the transform's last
+    stage — the (..., 2, N) complex lag tensor never materializes.
+
+    This is the demodulation hot path's consumer shape: the matched
+    filter bank only needs the lag-domain POWER (abs² symbol metric,
+    cuda_kernels.cu:78-146), so the final stack+square of
+    ``ifft_unnorm_ri`` is wasted traffic.
+    """
+    n = x.shape[-1]
+    re, im = x[..., 0, :], -x[..., 1, :]
+    if FOUR_STEP_MIN <= n <= FOUR_STEP_MAX:
+        n1, n2, (w1r, w1i), (tr, ti), (w2r, w2i) = _four_step_consts(n, -1.0)
+        batch = re.shape[:-1]
+        xr = re.reshape(batch + (n1, n2))
+        xi = im.reshape(batch + (n1, n2))
+
+        def mm(a, b):
+            return jnp.einsum("kc,...cm->...km", a, b,
+                              preferred_element_type=jnp.float32)
+
+        ar = mm(w1r, xr) - mm(w1i, xi)
+        ai = mm(w1r, xi) + mm(w1i, xr)
+        br, bi = cmul(ar, ai, tr, ti)
+        cr = (jnp.einsum("kc,...mc->...km", w2r, br, preferred_element_type=jnp.float32)
+              - jnp.einsum("kc,...mc->...km", w2i, bi, preferred_element_type=jnp.float32))
+        ci = (jnp.einsum("kc,...mc->...km", w2r, bi, preferred_element_type=jnp.float32)
+              + jnp.einsum("kc,...mc->...km", w2i, br, preferred_element_type=jnp.float32))
+        return (cr * cr + ci * ci).reshape(batch + (n,))
+    rr, ii = _stockham(re, im, n, -1.0)
+    return rr * rr + ii * ii
+
+
 def rfft_ri(x_real):
     """Real-input FFT: (..., N) f32 -> (..., 2, N//2+1) split spectrum.
 

@@ -14,7 +14,7 @@ split storage keeps the last (lane) axis at the transform length.
 import jax
 import jax.numpy as jnp
 
-from pycusdr_tpu.ops.cfft import cmul, ifft_unnorm_ri, rfft_ri
+from pycusdr_tpu.ops.cfft import cmul, ifft_unnorm_power_ri, ifft_unnorm_ri, rfft_ri
 
 
 def threshold_input(sig_ri: jnp.ndarray, scale: float):
@@ -53,6 +53,19 @@ def apply_best_doppler(S_ri: jnp.ndarray, masks_ri: jnp.ndarray, shift) -> jnp.n
     Ss = jnp.take(S_ri, idx, axis=-1)  # (2, N)
     pr, pi = cmul(Ss[0][None, :], Ss[1][None, :], masks_ri[:, 0], masks_ri[:, 1])
     return ifft_unnorm_ri(jnp.stack([pr, pi], axis=-2))
+
+
+def apply_best_doppler_power(S_ri: jnp.ndarray, masks_ri: jnp.ndarray, shift) -> jnp.ndarray:
+    """|matched filter bank|² directly: same as ``apply_best_doppler``
+    followed by re²+im², but the magnitude is fused into the inverse
+    transform's final stage (``cfft.ifft_unnorm_power_ri``) so the
+    (M, 2, N) complex lag tensor never exists. The whole demod stage
+    only ever consumes the power (abs² symbol metric)."""
+    N = S_ri.shape[-1]
+    idx = (jnp.arange(N, dtype=jnp.int32) + shift) % N
+    Ss = jnp.take(S_ri, idx, axis=-1)
+    pr, pi = cmul(Ss[0][None, :], Ss[1][None, :], masks_ri[:, 0], masks_ri[:, 1])
+    return ifft_unnorm_power_ri(jnp.stack([pr, pi], axis=-2))
 
 
 def find_code_rate_and_phase(P2: jnp.ndarray, idx_lo: int, idx_hi: int, Nfft: int,

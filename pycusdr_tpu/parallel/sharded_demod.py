@@ -28,7 +28,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from pycusdr_tpu.dsp.spec import DemodSpec
 from pycusdr_tpu.ops.cfft import c2ri, fft_ri, rfft_ri
 from pycusdr_tpu.ops.demod_kernels import (
-    apply_best_doppler,
+    apply_best_doppler_power,
     compute_snr,
     threshold_input,
 )
@@ -175,8 +175,9 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
             snr_db = jnp.zeros((Cl,), jnp.float32)
 
         # --- demod with the mask bank sharded over "dopp" ---
-        X = jax.vmap(lambda s, sh_: apply_best_doppler(s, masks_l, sh_))(S, shift)
-        P2 = X[:, :, 0] ** 2 + X[:, :, 1] ** 2  # (Cl, Ml, N)
+        P2 = jax.vmap(
+            lambda s, sh_: apply_best_doppler_power(s, masks_l, sh_)
+        )(S, shift)  # (Cl, Ml, N)
 
         power = jax.lax.psum(
             jnp.einsum("m,cmn->cn", w_mask_l, P2), "dopp"
