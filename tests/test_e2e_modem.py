@@ -82,3 +82,20 @@ def test_e2e_moderate_noise(bench_conf):
     assert len(packets) >= 1
     errs = min(p.checkPacketData() for p in packets)
     assert errs <= 10, f"BER too high at 15 dB: {errs}/1000"
+
+
+def test_e2e_bpsk_nrzs_packet(bench_conf):
+    """BPSK with NRZ-S phase-ambiguity resolution through the full
+    modem loop (the 4th reference benchmark modulation)."""
+    conf = {k: (dict(v) if isinstance(v, dict) else v) for k, v in bench_conf.items()}
+    conf["Main"] = dict(conf["Main"], PacketLen=1000, protocols={"UHF": "bench_BPSK"})
+    conf["GPU"] = {"UHF": dict(conf["GPU"]["UHF"], xcorrMaskSize=4)}
+
+    bits = packet_data(1000, 123)
+    fs = 9600 * 16
+    sig, _ = get_padded_packet("BPSK", 16, fs, offset_freq=38400, raw_bits=bits, pad=6000)
+
+    packets, protocol = run_modem_stream(conf, "bench_BPSK", sig)
+    assert len(packets) >= 1, "BPSK: no packet decoded"
+    errs = [p.checkPacketData() for p in packets]
+    assert min(errs) <= 2, f"BPSK: best packet has {min(errs)} bit errors"
