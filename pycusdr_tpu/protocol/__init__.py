@@ -39,4 +39,8 @@ def loadProtocol(name: str):
         from pycusdr_tpu.protocol.benchmark import BenchBPSK
 
         return BenchBPSK
+    if key == "ax25":
+        from pycusdr_tpu.protocol.ax25 import AX25
+
+        return AX25
     raise ValueError(f"Unknown protocol '{name}'")

@@ -104,3 +104,30 @@ class CC11xxEncoder(Encoder):
     def frame(self, bits):
         preamble = np.r_[self.Flags, self.Header].astype(np.uint8)
         return np.r_[preamble, bits].astype(np.uint8)
+
+
+class AX25Encoder(Encoder):
+    """HDLC/AX.25 framer: UI frame bytes -> LSB-first bits -> bit
+    stuffing -> flag wrapping -> NRZI line coding (see protocol/ax25.py)."""
+
+    name = "ax25"
+
+    def __init__(self, protocol, confRadio):
+        super().__init__(protocol, confRadio)
+        self.preFlags, _ = protocol.initTxHeader()
+        self.postFlags, _ = protocol.initTxTail()
+
+    def encodeAndFrame(self, data):
+        from pycusdr_tpu.protocol.ax25 import (
+            bit_stuff,
+            build_ui_frame,
+            bytes_to_bits_lsb,
+            nrzi_encode,
+        )
+
+        frame = build_ui_frame(np.asarray(data, np.uint8))
+        stuffed = bit_stuff(bytes_to_bits_lsb(frame))
+        bits = np.r_[self.preFlags, stuffed, self.postFlags].astype(np.uint8)
+        if getattr(self.protocol, "nrzi", True):
+            bits = nrzi_encode(bits)
+        return bits

@@ -1,0 +1,119 @@
+"""AX.25/HDLC protocol: bit-level codecs, frame codec roundtrip, FLAGS
+frame finding from a bit stream, and the full modem loop."""
+
+import numpy as np
+import pytest
+
+from pycusdr_tpu.protocol import loadProtocol
+from pycusdr_tpu.protocol.ax25 import (
+    FLAG,
+    bit_destuff,
+    bit_stuff,
+    build_ui_frame,
+    bytes_to_bits_lsb,
+    crc16_x25,
+    nrzi_decode,
+    nrzi_encode,
+)
+
+
+class TestHdlcCodecs:
+    def test_stuff_destuff_roundtrip(self):
+        rng = np.random.RandomState(0)
+        for _ in range(20):
+            bits = rng.randint(0, 2, rng.randint(10, 400)).astype(np.uint8)
+            np.testing.assert_array_equal(bit_destuff(bit_stuff(bits)), bits)
+
+    def test_stuffing_breaks_flag_pattern(self):
+        bits = np.ones(24, np.uint8)  # would alias a flag without stuffing
+        stuffed = bit_stuff(bits)
+        s = "".join(map(str, stuffed))
+        assert "111111" not in s
+
+    def test_nrzi_roundtrip(self):
+        rng = np.random.RandomState(1)
+        bits = rng.randint(0, 2, 500).astype(np.uint8)
+        np.testing.assert_array_equal(nrzi_decode(nrzi_encode(bits)), bits)
+
+    def test_crc_x25_vector(self):
+        # well-known check value: CRC-16/X-25 of b"123456789" = 0x906E
+        data = np.frombuffer(b"123456789", np.uint8)
+        assert crc16_x25(data) == 0x906E
+
+
+class TestFrameCodec:
+    def test_ui_frame_roundtrip(self):
+        proto = loadProtocol("AX25")(conf=None)
+        payload = np.arange(1, 60, dtype=np.uint8)
+        frame = build_ui_frame(payload, dest="CQ", src="N0CALL")
+        bits = np.r_[np.tile(FLAG, 3), bit_stuff(bytes_to_bits_lsb(frame)),
+                     np.tile(FLAG, 2)]
+        pkt = proto.Packet(np.r_[bits, np.zeros(8, np.uint8)])
+        data, err, _ = pkt.getBinaryData()
+        assert err == 0
+        np.testing.assert_array_equal(data, payload)
+        assert pkt.getAsciiAddress() == "N0CALL>CQ"
+
+    def test_fcs_detects_corruption(self):
+        proto = loadProtocol("AX25")(conf=None)
+        payload = np.arange(1, 30, dtype=np.uint8)
+        frame = build_ui_frame(payload)
+        raw = bytes_to_bits_lsb(frame)
+        raw[40] ^= 1  # corrupt a payload bit (before stuffing)
+        bits = np.r_[np.tile(FLAG, 3), bit_stuff(raw), np.tile(FLAG, 2)]
+        _, err, _ = proto.Packet(bits).getBinaryData()
+        assert err == -1
+
+
+class TestFrameFinderFlags:
+    def test_finds_ax25_frame_in_stream(self):
+        from pycusdr_tpu.decode import Decoder
+
+        proto = loadProtocol("AX25")(conf=None)
+        dec = Decoder({}, proto)
+
+        payload = np.arange(1, 50, dtype=np.uint8)
+        frame = build_ui_frame(payload)
+        onair = np.r_[np.tile(FLAG, 6), bit_stuff(bytes_to_bits_lsb(frame)),
+                      np.tile(FLAG, 2)].astype(np.uint8)
+        rng = np.random.RandomState(3)
+        filler = rng.randint(0, 2, 600).astype(np.uint8)
+        filler[::6] = 0  # no fake flags in the noise
+        stream = nrzi_encode(np.r_[filler, onair, filler])
+
+        pkts, _, _ = dec.findFrames(stream, 0)
+        assert pkts, "no AX.25 frame found"
+        results = [p.getBinaryData() for p in pkts]
+        good = [d for d, e, _ in results if e == 0 and len(d) == len(payload)]
+        assert good, f"no CRC-clean frame: {[(e, len(d)) for d, e, _ in results]}"
+        np.testing.assert_array_equal(good[0], payload)
+
+
+def test_ax25_full_modem_loop(bench_conf):
+    """Tx framer + GMSK LUT -> channel -> streamed Rx -> AX.25 decode."""
+    from test_e2e_modem import run_modem_stream
+    from pycusdr_tpu.tx.modulator import Modulator
+
+    conf = {k: (dict(v) if isinstance(v, dict) else v) for k, v in bench_conf.items()}
+    conf["Main"] = dict(conf["Main"], protocols={"UHF": "AX25"})
+    conf["Radios"] = dict(conf["Radios"])
+    conf["Radios"]["Tx"] = {
+        "UHF": {"baud": 9600, "samplesPerSym": 16, "frequency_Hz": 437.3e6,
+                "frequencyOffset_Hz": 38400, "Protocol": "UHF"}
+    }
+
+    proto = loadProtocol("AX25")(conf=conf)
+    mod = Modulator(conf, conf["Radios"]["Tx"]["UHF"], proto)
+    payload = np.frombuffer(b"HELLO VIA AX25 FROM THE TPU MODEM " * 3, np.uint8)
+    wave = mod.encodeAndModulate(payload)
+
+    from pycusdr_tpu.dsp.signal_gen import awgn
+    rng = np.random.RandomState(4)
+    sig = awgn(wave.astype(np.complex64), 22.0, rng=rng).astype(np.complex64)
+
+    packets, _ = run_modem_stream(conf, "AX25", sig)
+    assert packets, "no AX.25 packet through the modem"
+    results = [p.getBinaryData() for p in packets]
+    good = [d for d, e, _ in results if e == 0]
+    assert good, "no CRC-clean AX.25 packet"
+    np.testing.assert_array_equal(good[0], payload)
