@@ -55,6 +55,10 @@ class Decoder:
         self.numBitsOverlap = protocol.numBitsOverlap
         self.bitsOverlapBuf = np.zeros(self.numBitsOverlap)
 
+        # streaming context for line-coding preprocessors (e.g. NRZI
+        # needs the previous block's last raw level)
+        self._prevRawLast = None
+
         # FLAGS-mode resume state
         self.headerFrameStartIdx = None
         self.packetBuffer = None
@@ -78,7 +82,10 @@ class Decoder:
 
     def findFrames(self, bits_raw, frameStartIdx, debugMode=False):
         """Returns (packets, preprocessed bits, numSyncSig)."""
-        bits_less_raw = self.preprocessor(np.asarray(bits_raw))
+        bits_raw = np.asarray(bits_raw)
+        bits_less_raw = self.preprocessor(bits_raw, prev_raw_last=self._prevRawLast)
+        if len(bits_raw):
+            self._prevRawLast = int(bits_raw[-1])
 
         rawBits = np.concatenate((self.bitsOverlapBuf, bits_less_raw))
         self.bitsOverlapBuf = rawBits[-self.numBitsOverlap :]

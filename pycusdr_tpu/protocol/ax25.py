@@ -150,8 +150,24 @@ class AX25(FSK2):
             pconf = self.conf.get("Radios", {}).get("Protocol", {})
         self.nrzi = bool(pconf.get("ax25_nrzi", True))
         self.tx_num_flags = int(pconf.get("tx_num_preambles", 16))
+        # "FSK" (2FSK) or "GMSK" (G3RUH-style 9600) air interface
+        self.modulation = str(pconf.get("ax25_modulation", "FSK")).upper()
 
-    # Rx: FSK filter bank inherited from FSK2 (get_filter)
+    def get_filter(self, Nfft, spsym, maskSize, nCycles=0.5):
+        if self.modulation == "GMSK":
+            from pycusdr_tpu.protocol.fsk2 import fft_filter_bank as _bank
+            from pycusdr_tpu.protocol.gfsk2 import hamming_weight
+            from pycusdr_tpu.utils.gmsk import gmsk_mod
+
+            masks = self._get_xcorrMasks(maskSize)
+            templates = []
+            for m in masks:
+                wave, _phase, f_len = gmsk_mod(m, spsym)
+                templates.append(wave[f_len // 2 : -f_len // 2 + 1])
+            templates = hamming_weight(templates)
+            bank = _bank(np.asarray(templates), Nfft)
+            return bank.shape[0], bank
+        return super().get_filter(Nfft, spsym, maskSize, nCycles)
 
     def get_symbolLUT2(self, maskLen: int):
         masks = self._get_xcorrMasks(maskLen)
@@ -166,11 +182,16 @@ class AX25(FSK2):
         self.numOnesSyncSig = float(np.sum(FLAG))
         return np.flipud(FLAG.astype(np.float64) * 2 - 1)
 
-    def decoderPreprocessor(self, bits, **kwargs):
-        """Undo the NRZI line coding so the frame finder sees HDLC bits."""
+    def decoderPreprocessor(self, bits, prev_raw_last=None, **kwargs):
+        """Undo the NRZI line coding so the frame finder sees HDLC bits.
+
+        ``prev_raw_last`` (streamed in by the frame finder) carries the
+        previous block's final raw level so block boundaries decode
+        without an injected error."""
         if not self.nrzi:
             return np.asarray(bits)
-        return nrzi_decode(np.asarray(bits))
+        initial = 0 if prev_raw_last is None else int(prev_raw_last)
+        return nrzi_decode(np.asarray(bits), initial=initial)
 
     def Packet(self, *args, **kwargs):
         return PacketAX25(self, *args, **kwargs)
@@ -183,8 +204,11 @@ class AX25(FSK2):
         return AX25Encoder
 
     def getModulator(self, confRadio):
-        # FSK LUT to match the FSK Rx correlation bank (2FSK AX.25;
-        # a GMSK/G3RUH variant would pair GMSKmod with a GMSK bank)
+        # the Tx LUT always pairs with the Rx correlation bank
+        if self.modulation == "GMSK":
+            from pycusdr_tpu.tx.luts import GMSKmod
+
+            return GMSKmod
         from pycusdr_tpu.tx.luts import FSKmod
 
         return FSKmod

@@ -117,3 +117,37 @@ def test_ax25_full_modem_loop(bench_conf):
     good = [d for d, e, _ in results if e == 0]
     assert good, "no CRC-clean AX.25 packet"
     np.testing.assert_array_equal(good[0], payload)
+
+
+def test_ax25_gmsk_variant_full_loop(bench_conf):
+    """G3RUH-style AX.25: GMSK air interface paired with a GMSK Rx bank."""
+    from test_e2e_modem import run_modem_stream
+    from pycusdr_tpu.tx.modulator import Modulator
+    from pycusdr_tpu.dsp.signal_gen import awgn
+
+    conf = {k: (dict(v) if isinstance(v, dict) else v) for k, v in bench_conf.items()}
+    conf["Main"] = dict(conf["Main"], protocols={"UHF": "AX25"})
+    conf["Radios"] = dict(conf["Radios"])
+    # short preamble so the whole frame fits inside one demod block
+    # (GMSK currently degrades near block seams -- known limitation;
+    # the FSK variant test above exercises multi-block frames)
+    conf["Radios"]["Protocol"] = {"ax25_modulation": "GMSK",
+                                  "tx_num_preambles": 4}
+    conf["Radios"]["Tx"] = {
+        "UHF": {"baud": 9600, "samplesPerSym": 16, "frequency_Hz": 437.3e6,
+                "frequencyOffset_Hz": 38400, "Protocol": "UHF"}
+    }
+
+    from pycusdr_tpu.protocol import loadProtocol
+    proto = loadProtocol("AX25")(conf=conf)
+    assert proto.modulation == "GMSK"
+    mod = Modulator(conf, conf["Radios"]["Tx"]["UHF"], proto)
+    payload = np.frombuffer(b"G3RUH AX25 OVER GMSK ON TPU ", np.uint8)
+    wave = mod.encodeAndModulate(payload)
+    rng = np.random.RandomState(6)
+    sig = awgn(wave.astype(np.complex64), 22.0, rng=rng).astype(np.complex64)
+
+    packets, _ = run_modem_stream(conf, "AX25", sig)
+    good = [p.getBinaryData()[0] for p in packets if p.getBinaryData()[1] == 0]
+    assert good, "no CRC-clean G3RUH AX.25 packet"
+    np.testing.assert_array_equal(good[0], payload)
