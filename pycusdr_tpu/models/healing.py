@@ -109,7 +109,11 @@ class BlockHealer:
         dataBitsWin = dataBits[startOverlap:endOverlap]
         trustSymbolWin = trustSymbol[startOverlap:endOverlap]
         centresWin = centres[startOverlap:endOverlap]
-        idxSymbolWin = dataBits[startOverlap:endOverlap]
+        # NB the matching above runs on dataBits, not idxSymbol — an
+        # inherited reference quirk (demodulator_base.py:863+ does the
+        # same despite its docstring); idxSymbol is accepted for API
+        # parity and the 4th return mirrors the bits window
+        idxSymbolWin = dataBitsWin
 
         self.poswinP = dataBits[endOverlap:]
         # refresh unconditionally (reference demodulator_base.py:978):

@@ -25,7 +25,20 @@ def init_distributed(coordinator_address=None, num_processes=None, process_id=No
     env vars (JAX_COORDINATOR_ADDRESS etc.). No-op when single-process."""
     import jax
 
-    if num_processes is None or num_processes <= 1:
+    if num_processes is None:
+        # defer to the standard env vars (JAX_COORDINATOR_ADDRESS,
+        # JAX_NUM_PROCESSES, JAX_PROCESS_ID / cluster autodetection)
+        import os
+
+        if not (os.environ.get("JAX_COORDINATOR_ADDRESS")
+                or os.environ.get("COORDINATOR_ADDRESS")):
+            log.info("single-process run: jax.distributed not initialized")
+            return False
+        jax.distributed.initialize()
+        log.info("jax.distributed up from env: process %d/%d",
+                 jax.process_index(), jax.process_count())
+        return True
+    if num_processes <= 1:
         log.info("single-process run: jax.distributed not initialized")
         return False
     jax.distributed.initialize(
@@ -61,6 +74,11 @@ def local_channel_slice(mesh, n_channels_global: int):
     (host-local IQ ingest writes only its own shard)."""
     import jax
 
+    if n_channels_global % jax.process_count():
+        raise ValueError(
+            f"{n_channels_global} channels do not divide over "
+            f"{jax.process_count()} processes"
+        )
     per = n_channels_global // jax.process_count()
     lo = jax.process_index() * per
     return slice(lo, lo + per)

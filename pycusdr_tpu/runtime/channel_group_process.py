@@ -108,6 +108,23 @@ class ChannelGroup_process(Process):
         with self.__TxRangeRate.get_lock():
             self.__TxRangeRate.value = float(v)
 
+    # remaining RPC Rx surface (control/rpc.py dereferences these on
+    # whatever sits in the demodulator list): group-level scalars
+    rangerate = 0.0
+    baudRateEst = 0.0
+    RxFreqOffset = 0.0
+    RxIFFreqOffset = 0.0
+    TxIFFreqOffset = 0.0
+
+    @property
+    def Fc(self):
+        r0 = self.conf["Radios"]["Rx"][self.radios[0]]
+        return float(r0["frequency_Hz"] - r0["frequencyOffset_Hz"])
+
+    @property
+    def workerId(self):
+        return self.workerIds[0]
+
     def run(self):
         import zmq
 
@@ -150,6 +167,7 @@ class ChannelGroup_process(Process):
 
         tails = np.zeros((C, self.overlap), np.complex64)
         count = 0
+        self.GRCTimeoutFlag.clear()
         log.info("[%s]: channel-group running (%d lockstep channels)", self.name, C)
         orig_sigterm = signal.getsignal(signal.SIGTERM)
         signal.signal(signal.SIGTERM, lambda *_: None)
@@ -164,6 +182,8 @@ class ChannelGroup_process(Process):
             while self.runStatus.is_set():
                 try:
                     hops = [f.getBlock() for f in fifos]  # lockstep
+                    if self.GRCTimeoutFlag.is_set():
+                        self.GRCTimeoutFlag.clear()  # feed recovered
                     blocks = np.concatenate(
                         [tails, np.stack(hops)], axis=1
                     )  # (C, Nfft)
@@ -226,6 +246,12 @@ class ChannelGroup_process(Process):
                     log.info("[%s]: sample feed timed out", self.name)
                     count = 0
                     self.GRCTimeoutFlag.set()
+                    # a partial lockstep read consumed hops from some
+                    # channels only: flush every ring and zero the
+                    # overlap tails so recovery restarts sample-aligned
+                    for f in fifos:
+                        f.buf.flush()
+                    tails[:] = 0
         except Exception as e:
             log.exception(e)
         finally:
@@ -236,15 +262,21 @@ class ChannelGroup_process(Process):
             log.info("[%s]: finished", self.name)
             sys.stdout.flush()
 
-    @staticmethod
-    def _group_graph(blocks_ri, core, vote_n_device):
+    def _group_graph(self, blocks_ri, core, vote_n_device):
         """(C, 2, N) -> vmapped per-channel demod + on-device vote."""
         import jax
         import jax.numpy as jnp
 
         res = jax.vmap(core)(blocks_ri)
         res.pop("E")
-        voted, vtrust = vote_n_device(res["bits"], res["trust"])
+        # pad slots beyond each channel's own bit count must not vote:
+        # mark them distrusted before the reduction
+        numSymMax = res["trust"].shape[1]
+        slot = jnp.arange(numSymMax, dtype=jnp.int32)[None, :]
+        trust = jnp.where(slot < res["nBits"][:, None], res["trust"], jnp.int8(-1))
+        res["trust"] = trust
+        voted, vtrust = vote_n_device(res["bits"], trust,
+                                      master_weight=self.masterVoteWeight)
         res["bits_voted"] = voted
         res["trust_voted"] = vtrust
         return res

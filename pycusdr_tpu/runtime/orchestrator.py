@@ -95,6 +95,10 @@ class PyCuSDR:
                     coll[j] = new
         if old is self.dec:
             self.dec = new
+        if getattr(self, "combiner", None) is old:
+            self.combiner = new
+            if self.rpcInt is not None:
+                self.rpcInt.softCombiner = new
         # keep the RPC thread pointed at live processes
         if self.rpcInt is not None:
             if isinstance(self.rpcInt.demodulator, list):
@@ -213,9 +217,17 @@ class PyCuSDR:
             if groupEnabled and len(self.radios) > 1:
                 from pycusdr_tpu.runtime.channel_group_process import ChannelGroup_process
 
-                protocolName = next(
-                    iter(self.configFile["Radios"]["Rx"].values())
-                )["Protocol"]
+                rx = self.configFile["Radios"]["Rx"]
+                keys = ("Protocol", "baud", "samplesPerSym", "CUDA_settings", "voteGroup")
+                first = {k: next(iter(rx.values())).get(k) for k in keys}
+                for name, rc in rx.items():
+                    for k in keys:
+                        if rc.get(k) != first[k]:
+                            raise ValueError(
+                                f"channelGroup_enabled requires homogeneous Rx radios: "
+                                f"{name}.{k}={rc.get(k)!r} differs from {first[k]!r}"
+                            )
+                protocolName = first["Protocol"]
                 mk = (lambda prot=protocolName:
                       ChannelGroup_process(self.configFile, self.protocols[prot],
                                            list(self.radios)))
