@@ -43,4 +43,8 @@ def loadProtocol(name: str):
         from pycusdr_tpu.protocol.ax25 import AX25
 
         return AX25
+    if key == "ccsds":
+        from pycusdr_tpu.protocol.ccsds import CCSDS
+
+        return CCSDS
     raise ValueError(f"Unknown protocol '{name}'")

@@ -131,3 +131,25 @@ class AX25Encoder(Encoder):
         if getattr(self.protocol, "nrzi", True):
             bits = nrzi_encode(bits)
         return bits
+
+
+class CCSDSEncoder(Encoder):
+    """CCSDS TM framer: 223-byte payload -> RS(255,223) codeword,
+    prefixed by the 32-bit ASM (see protocol/ccsds.py)."""
+
+    name = "ccsds"
+
+    def __init__(self, protocol, confRadio):
+        super().__init__(protocol, confRadio)
+        _, self.asm_bits = protocol.initTxHeader()
+
+    def encodeAndFrame(self, data):
+        from pycusdr_tpu.protocol.ccsds import RS_K
+
+        payload = np.asarray(data, np.uint8)
+        if len(payload) > RS_K:
+            raise ValueError(f"CCSDS payload must be <= {RS_K} bytes, got {len(payload)}")
+        if len(payload) < RS_K:  # virtual fill (zero padding) per CCSDS
+            payload = np.r_[payload, np.zeros(RS_K - len(payload), np.uint8)]
+        cw = self.protocol.rs.encode(payload)
+        return np.r_[self.asm_bits, np.unpackbits(np.asarray(cw, np.uint8))].astype(np.uint8)

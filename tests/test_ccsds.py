@@ -1,0 +1,100 @@
+"""CCSDS TM frames with RS(255,223) FEC through the modem: the codec
+corrects injected errors end-to-end (the reference never wires its
+advertised Reed-Solomon into a link)."""
+
+import numpy as np
+import pytest
+
+from pycusdr_tpu.protocol import loadProtocol
+from pycusdr_tpu.protocol.ccsds import ASM_BITS, RS_K, RS_N
+
+
+@pytest.fixture(scope="module")
+def ccsds_conf(bench_conf):
+    conf = {k: (dict(v) if isinstance(v, dict) else v) for k, v in bench_conf.items()}
+    conf["Main"] = dict(conf["Main"], protocols={"UHF": "CCSDS"})
+    return conf
+
+
+def test_frame_codec_roundtrip(ccsds_conf):
+    proto = loadProtocol("CCSDS")(conf=ccsds_conf)
+    from pycusdr_tpu.tx.encoders import CCSDSEncoder
+
+    enc = CCSDSEncoder(proto, {})
+    payload = np.arange(200, dtype=np.uint8)
+    bits = enc.encodeAndFrame(payload)
+    assert len(bits) == 32 + RS_N * 8
+
+    pkt = proto.Packet(bits)
+    data, nerr, _ = pkt.getBinaryData()
+    assert nerr == 0
+    np.testing.assert_array_equal(data[:200], payload)
+
+
+def test_rs_corrects_bit_errors_in_frame(ccsds_conf):
+    proto = loadProtocol("CCSDS")(conf=ccsds_conf)
+    from pycusdr_tpu.tx.encoders import CCSDSEncoder
+
+    enc = CCSDSEncoder(proto, {})
+    payload = np.arange(223, dtype=np.uint8)
+    bits = enc.encodeAndFrame(payload).copy()
+
+    rng = np.random.RandomState(1)
+    # corrupt 12 distinct BYTES of the codeword (within RS t=16)
+    byte_idx = rng.choice(RS_N, 12, replace=False)
+    for bi in byte_idx:
+        bit = 32 + bi * 8 + rng.randint(8)
+        bits[bit] ^= 1
+
+    pkt = proto.Packet(bits)
+    data, nerr, _ = pkt.getBinaryData()
+    assert nerr == 12
+    np.testing.assert_array_equal(data, payload)
+
+
+def test_uncorrectable_frame_flagged(ccsds_conf):
+    proto = loadProtocol("CCSDS")(conf=ccsds_conf)
+    from pycusdr_tpu.tx.encoders import CCSDSEncoder
+
+    enc = CCSDSEncoder(proto, {})
+    bits = enc.encodeAndFrame(np.zeros(223, np.uint8)).copy()
+    rng = np.random.RandomState(2)
+    for bi in rng.choice(RS_N, 40, replace=False):  # > t = 16
+        bits[32 + bi * 8 + rng.randint(8)] ^= 1
+    _, nerr, _ = proto.Packet(bits).getBinaryData()
+    assert nerr == -1
+
+
+def test_ccsds_full_modem_loop_with_noise(ccsds_conf):
+    """Full loop at an SNR where raw bits already take occasional hits:
+    RS must still deliver the exact payload."""
+    from test_e2e_modem import run_modem_stream
+    from pycusdr_tpu.tx.modulator import Modulator
+    from pycusdr_tpu.dsp.signal_gen import awgn
+
+    conf = dict(ccsds_conf)
+    conf["Radios"] = dict(conf["Radios"])
+    conf["Radios"]["Tx"] = {
+        "UHF": {"baud": 9600, "samplesPerSym": 16, "frequency_Hz": 437.3e6,
+                "frequencyOffset_Hz": 38400, "Protocol": "UHF"}
+    }
+    proto = loadProtocol("CCSDS")(conf=conf)
+    mod = Modulator(conf, conf["Radios"]["Tx"]["UHF"], proto)
+    payload = np.frombuffer(b"CCSDS TELEMETRY WITH REED SOLOMON " * 6, np.uint8)[:223]
+    wave = mod.encodeAndModulate(payload)
+
+    rng = np.random.RandomState(3)
+    sig = awgn(wave.astype(np.complex64), 10.0, rng=rng).astype(np.complex64)
+
+    packets, _ = run_modem_stream(conf, "CCSDS", sig)
+    assert packets, "no CCSDS frame found"
+    results = [p.getBinaryData() for p in packets]
+    # ASM tolerance admits off-by-a-bit sidelobe candidates whose RS
+    # decode fails or (rarely) miscorrects: the acceptance is that the
+    # true frame is among the decodables, bit-exact
+    # decode returns the full 223-byte field (payload + virtual fill)
+    exact = [n for d, n, _ in results
+             if n >= 0 and len(d) >= len(payload)
+             and np.array_equal(d[: len(payload)], payload)
+             and not np.any(d[len(payload):])]
+    assert exact, f"no bit-exact frame among {[n for _, n, _ in results]}"
