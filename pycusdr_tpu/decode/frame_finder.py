@@ -56,8 +56,10 @@ class Decoder:
         self.bitsOverlapBuf = np.zeros(self.numBitsOverlap)
 
         # streaming context for line-coding preprocessors (e.g. NRZI
-        # needs the previous block's last raw level)
+        # needs the previous block's last raw level; a streaming Viterbi
+        # keeps its trellis carry in the mutable state dict)
         self._prevRawLast = None
+        self._preprocState = {}
 
         # FLAGS-mode resume state
         self.headerFrameStartIdx = None
@@ -83,7 +85,8 @@ class Decoder:
     def findFrames(self, bits_raw, frameStartIdx, debugMode=False):
         """Returns (packets, preprocessed bits, numSyncSig)."""
         bits_raw = np.asarray(bits_raw)
-        bits_less_raw = self.preprocessor(bits_raw, prev_raw_last=self._prevRawLast)
+        bits_less_raw = self.preprocessor(bits_raw, prev_raw_last=self._prevRawLast,
+                                          stream_state=self._preprocState)
         if len(bits_raw):
             self._prevRawLast = int(bits_raw[-1])
 

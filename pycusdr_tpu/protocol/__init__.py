@@ -47,4 +47,8 @@ def loadProtocol(name: str):
         from pycusdr_tpu.protocol.ccsds import CCSDS
 
         return CCSDS
+    if key in ("ccsds_conv", "ccsds-conv"):
+        from pycusdr_tpu.protocol.ccsds import CCSDSConv
+
+        return CCSDSConv
     raise ValueError(f"Unknown protocol '{name}'")

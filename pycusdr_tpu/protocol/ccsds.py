@@ -108,3 +108,37 @@ class PacketCCSDS(Packet):
     def checkPacketData(self):
         _, nerr, _ = self.getBinaryData()
         return nerr
+
+
+class CCSDSConv(CCSDS):
+    """Concatenated CCSDS: convolutional K=7 r=1/2 inner code (Viterbi
+    inner decode over the whole bit stream) + RS(255,223) outer code.
+
+    The ASM is attached before convolutional encoding (CCSDS 131.0-B),
+    so the Rx pipeline Viterbi-decodes the demodulated stream in the
+    ``decoderPreprocessor`` and the frame finder then sees the clean
+    ASM + codeword domain. Per-block decoding leaves a few bit errors
+    near block seams (no cross-block trellis state); the outer RS code
+    absorbs them — exactly the division of labour the concatenated
+    design is for.
+    """
+
+    name = "CCSDS-conv"
+
+    def decoderPreprocessor(self, bits, stream_state=None, **kwargs):
+        """Streaming inner Viterbi: trellis carry + node sync live in
+        the frame finder's per-stream state dict, so consecutive blocks
+        decode with full cross-seam context."""
+        from pycusdr_tpu.ops.viterbi import ViterbiStream
+
+        if stream_state is None:
+            stream_state = {}
+        vs = stream_state.get("viterbi")
+        if vs is None:
+            vs = stream_state["viterbi"] = ViterbiStream()
+        return vs.feed(np.asarray(bits))
+
+    def getFramer(self, confRadio):
+        from pycusdr_tpu.tx.encoders import CCSDSConvEncoder
+
+        return CCSDSConvEncoder

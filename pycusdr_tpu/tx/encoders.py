@@ -153,3 +153,16 @@ class CCSDSEncoder(Encoder):
             payload = np.r_[payload, np.zeros(RS_K - len(payload), np.uint8)]
         cw = self.protocol.rs.encode(payload)
         return np.r_[self.asm_bits, np.unpackbits(np.asarray(cw, np.uint8))].astype(np.uint8)
+
+
+class CCSDSConvEncoder(CCSDSEncoder):
+    """Concatenated CCSDS Tx: (ASM + RS codeword) -> K=7 r=1/2
+    convolutional encoding (see protocol/ccsds.py CCSDSConv)."""
+
+    name = "ccsds-conv"
+
+    def encodeAndFrame(self, data):
+        from pycusdr_tpu.ops.viterbi import conv_encode
+
+        inner = super().encodeAndFrame(data)
+        return conv_encode(inner).astype(np.uint8)

@@ -98,3 +98,59 @@ def test_ccsds_full_modem_loop_with_noise(ccsds_conf):
              and np.array_equal(d[: len(payload)], payload)
              and not np.any(d[len(payload):])]
     assert exact, f"no bit-exact frame among {[n for _, n, _ in results]}"
+
+
+def test_concatenated_codec_stream():
+    """conv-encoded (ASM + RS codeword) stream with 4% symbol errors:
+    Viterbi preprocessor + frame finder + RS recover the payload."""
+    from pycusdr_tpu.decode import Decoder
+
+    proto = loadProtocol("ccsds_conv")(conf=None)
+    from pycusdr_tpu.tx.encoders import CCSDSConvEncoder
+
+    enc = CCSDSConvEncoder(proto, {})
+    payload = np.arange(223, dtype=np.uint8)
+    onair = enc.encodeAndFrame(payload)
+    assert len(onair) == 2 * (32 + RS_N * 8 + 6)
+
+    rng = np.random.RandomState(4)
+    stream = np.r_[rng.randint(0, 2, 700), onair,
+                   rng.randint(0, 2, 700)].astype(np.uint8)
+    flip = rng.rand(len(stream)) < 0.04
+    stream = stream ^ flip.astype(np.uint8)
+
+    dec = Decoder({}, proto)
+    pkts, _, _ = dec.findFrames(stream, 0)
+    assert pkts, "no concatenated frame found"
+    results = [p.getBinaryData() for p in pkts]
+    good = [(d, n) for d, n, _ in results if n >= 0 and np.array_equal(d, payload)]
+    assert good, f"RS+Viterbi failed: {[n for _, n, _ in results]}"
+    # the inner decoder cleaned most errors; RS reports the leftovers
+    assert good[0][1] <= 16
+
+
+def test_concatenated_full_modem_loop(bench_conf):
+    from test_e2e_modem import run_modem_stream
+    from pycusdr_tpu.tx.modulator import Modulator
+    from pycusdr_tpu.dsp.signal_gen import awgn
+
+    conf = {k: (dict(v) if isinstance(v, dict) else v) for k, v in bench_conf.items()}
+    conf["Main"] = dict(conf["Main"], protocols={"UHF": "ccsds_conv"})
+    conf["Radios"] = dict(conf["Radios"])
+    conf["Radios"]["Tx"] = {
+        "UHF": {"baud": 9600, "samplesPerSym": 16, "frequency_Hz": 437.3e6,
+                "frequencyOffset_Hz": 38400, "Protocol": "UHF"}
+    }
+    proto = loadProtocol("ccsds_conv")(conf=conf)
+    mod = Modulator(conf, conf["Radios"]["Tx"]["UHF"], proto)
+    payload = np.frombuffer(b"CONCATENATED RS+VITERBI DOWNLINK " * 7, np.uint8)[:223]
+    wave = mod.encodeAndModulate(payload)
+    rng = np.random.RandomState(5)
+    sig = awgn(wave.astype(np.complex64), 9.0, rng=rng).astype(np.complex64)
+
+    packets, _ = run_modem_stream(conf, "ccsds_conv", sig)
+    assert packets, "no concatenated frame through the modem"
+    results = [p.getBinaryData() for p in packets]
+    exact = [n for d, n, _ in results
+             if n >= 0 and np.array_equal(d[: len(payload)], payload)]
+    assert exact, f"no exact frame among {[n for _, n, _ in results]}"
