@@ -82,11 +82,16 @@ class Decoder:
 
     # ------------------------------------------------------------------
 
-    def findFrames(self, bits_raw, frameStartIdx, debugMode=False):
-        """Returns (packets, preprocessed bits, numSyncSig)."""
+    def findFrames(self, bits_raw, frameStartIdx, trust=None, debugMode=False):
+        """Returns (packets, preprocessed bits, numSyncSig).
+
+        ``trust`` (optional, same length as ``bits_raw``) is the demod's
+        per-bit trust; soft-decision preprocessors (e.g. the concatenated
+        CCSDS inner Viterbi) use it to weight/erase symbols."""
         bits_raw = np.asarray(bits_raw)
         bits_less_raw = self.preprocessor(bits_raw, prev_raw_last=self._prevRawLast,
-                                          stream_state=self._preprocState)
+                                          stream_state=self._preprocState,
+                                          trust=trust)
         if len(bits_raw):
             self._prevRawLast = int(bits_raw[-1])
 

@@ -190,7 +190,9 @@ class ViterbiStream:
             if self.parity is None:
                 self.parity = 0 if r0 <= r1 else 1
                 shift = self.parity
-            elif r1 < 0.85 * r0:
+            elif r1 + 0.15 * (abs(r0) + abs(r1)) / 2 + 0.02 < r0:
+                # margin form works for hard (positive Hamming rate) and
+                # soft (negative correlation rate) metrics alike
                 self.parity ^= 1
                 self.carry = np.zeros(0, np.float32)  # resync
                 shift = 1

@@ -125,18 +125,31 @@ class CCSDSConv(CCSDS):
 
     name = "CCSDS-conv"
 
-    def decoderPreprocessor(self, bits, stream_state=None, **kwargs):
+    def decoderPreprocessor(self, bits, stream_state=None, trust=None, **kwargs):
         """Streaming inner Viterbi: trellis carry + node sync live in
         the frame finder's per-stream state dict, so consecutive blocks
-        decode with full cross-seam context."""
+        decode with full cross-seam context.
+
+        When the demod's per-bit ``trust`` is available the decode is
+        soft-decision: distrusted bits (clip-tagged or symbol-error,
+        trust < 0) become erasures (weight 0) instead of hard lies —
+        worth ~2 dB on the inner code and the difference between a lost
+        and a recovered frame under pulsed interference."""
         from pycusdr_tpu.ops.viterbi import ViterbiStream
 
         if stream_state is None:
             stream_state = {}
         vs = stream_state.get("viterbi")
         if vs is None:
-            vs = stream_state["viterbi"] = ViterbiStream()
-        return vs.feed(np.asarray(bits))
+            vs = stream_state["viterbi"] = ViterbiStream(soft=trust is not None)
+
+        bits = np.asarray(bits)
+        if vs.soft:
+            sym = bits.astype(np.float32) * 2.0 - 1.0
+            if trust is not None and len(trust) == len(bits):
+                sym = sym * (np.asarray(trust) >= 0)
+            return vs.feed(sym)
+        return vs.feed(bits)
 
     def getFramer(self, confRadio):
         from pycusdr_tpu.tx.encoders import CCSDSConvEncoder

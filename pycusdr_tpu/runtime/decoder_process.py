@@ -136,7 +136,8 @@ class Decoder(Process):
 
                     rawBits = dataCont["data"]
                     t = time.time()
-                    packets, bits_DS, numSyncSig = decoders[workerId].findFrames(rawBits, 0)
+                    packets, bits_DS, numSyncSig = decoders[workerId].findFrames(
+                        rawBits, 0, trust=dataCont.get("trust"))
                     pktsErr = pktsSuc = 0
                     if packets:
                         log.info("worker %-10s bits %6d syncSigs %s packets %d time %.2f ms",

@@ -154,3 +154,39 @@ def test_concatenated_full_modem_loop(bench_conf):
     exact = [n for d, n, _ in results
              if n >= 0 and np.array_equal(d[: len(payload)], payload)]
     assert exact, f"no exact frame among {[n for _, n, _ in results]}"
+
+
+def test_concatenated_soft_decision_with_trust():
+    """Erasure-tagged bits (trust<0) at 12% + flips at 1.5%: the
+    soft-decision inner Viterbi (driven by the demod trust array through
+    findFrames) recovers the payload where hard decisions would not."""
+    from pycusdr_tpu.decode import Decoder
+    from pycusdr_tpu.ops.viterbi import viterbi_decode
+
+    proto = loadProtocol("ccsds_conv")(conf=None)
+    from pycusdr_tpu.tx.encoders import CCSDSConvEncoder
+
+    enc = CCSDSConvEncoder(proto, {})
+    payload = np.arange(223, dtype=np.uint8)[::-1].copy()
+    onair = enc.encodeAndFrame(payload)
+
+    rng = np.random.RandomState(6)
+    stream = np.r_[rng.randint(0, 2, 600), onair,
+                   rng.randint(0, 2, 600)].astype(np.uint8)
+    erased = rng.rand(len(stream)) < 0.12
+    flipped = (rng.rand(len(stream)) < 0.015) & ~erased
+    stream[erased] = rng.randint(0, 2, int(erased.sum()))
+    stream = stream ^ flipped.astype(np.uint8)
+    trust = np.where(erased, -1, 5).astype(np.int8)
+
+    # hard decode of the same stream leaves more errors than soft
+    n = len(stream) // 2 * 2
+    hard_bits = viterbi_decode(stream[:n], n_bits=n // 2, terminated=False)
+
+    dec = Decoder({}, proto)
+    pkts, soft_bits, _ = dec.findFrames(stream, 0, trust=trust)
+    assert pkts, "no frame found via soft path"
+    results = [p.getBinaryData() for p in pkts]
+    good = [(d, nerr) for d, nerr, _ in results
+            if nerr >= 0 and np.array_equal(d, payload)]
+    assert good, f"soft concatenated decode failed: {[n for _, n, _ in results]}"

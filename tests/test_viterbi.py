@@ -111,3 +111,29 @@ def test_stream_node_sync_recovery():
     assert n > 2500
     errs = int(np.sum(out[:n] != ref[:n]))
     assert errs == 0, f"{errs} errors after node-sync recovery"
+
+
+def test_soft_erasures_beat_hard_decisions():
+    """15% erased bits (value garbage, trust < 0) + 2% flips elsewhere:
+    soft decode with erasure weights recovers; hard decode cannot."""
+    from pycusdr_tpu.ops.viterbi import conv_encode, viterbi_decode
+
+    rng = np.random.RandomState(12)
+    bits = rng.randint(0, 2, 2000).astype(np.uint8)
+    sym = conv_encode(bits)
+
+    erased = rng.rand(len(sym)) < 0.15
+    flipped = (rng.rand(len(sym)) < 0.02) & ~erased
+    hard = sym.copy()
+    hard[erased] = rng.randint(0, 2, int(erased.sum()))  # garbage
+    hard = hard ^ flipped.astype(np.uint8)
+
+    soft = (hard.astype(np.float32) * 2 - 1)
+    soft[erased] = 0.0  # trust<0 -> erasure
+
+    dec_soft = viterbi_decode(soft, n_bits=2000, soft=True)
+    err_soft = int(np.sum(dec_soft != bits))
+    dec_hard = viterbi_decode(hard, n_bits=2000)
+    err_hard = int(np.sum(dec_hard != bits))
+    assert err_soft == 0, f"soft decode left {err_soft} errors"
+    assert err_hard > err_soft  # erasure knowledge must help
