@@ -8,6 +8,20 @@ Metric: sustained demodulation throughput of the full per-block chain
 symbol detection → soft bits) at the operational UHF envelope
 (Nfft 2^16, overlap 2^10), counting effective (non-overlap) samples.
 
+Measurement honesty: on the tunnelled TPU backend here,
+``jax.block_until_ready`` returns before execution completes (verified:
+it implies physically impossible FLOP rates), so naive dispatch-loop
+timing measures the enqueue rate, not the chip. This benchmark instead
+runs T iterations of the block chain inside one jitted ``lax.scan``
+whose carry feeds each iteration's input (so XLA cannot hoist or
+dedupe the body) and times a host fetch of the final scalar — the
+device must have executed all T batches before the fetch returns.
+
+Batch realism: a production ground station demodulates many co-sampled
+channels per dispatch (the polyphase channelizer emits dozens), so the
+sustained rate is measured at batch 1 / 16 / 64 vmapped blocks and the
+best rate is reported.
+
 vs_baseline: measured throughput divided by the BASELINE.json target of
 10x the CPU-reference implementation (the numpy transliteration of the
 reference hot path, ``pycusdr_tpu.dsp.reference.demod_block_numpy``,
@@ -28,57 +42,57 @@ def time_fn(fn, n_iter, *args):
     return (time.perf_counter() - t0) / n_iter, out
 
 
-def main():
+def sustained_msps(core, spec, B, T=10, repeats=3):
+    """Honest sustained rate: T scan-chained batches per fetch."""
     import jax
+    import jax.numpy as jnp
 
+    vc = jax.vmap(core)
+    eff = spec.Nfft - spec.sigOverlap
+
+    @jax.jit
+    def bench_fn(batch):
+        def body(carry, _):
+            out = vc(batch + carry * jnp.float32(1e-30))
+            c2 = carry + out["nBits"].sum().astype(jnp.float32) * jnp.float32(1e-30)
+            return c2, None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=T)
+        return c
+
+    rng = np.random.RandomState(1)
+    from pycusdr_tpu.ops.cfft import c2ri
+
+    blocks = (
+        rng.randn(B, spec.Nfft) + 1j * rng.randn(B, spec.Nfft)
+    ).astype(np.complex64)
+    d = jax.device_put(np.stack([c2ri(b) for b in blocks]))
+    float(bench_fn(d))  # compile + warm
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(bench_fn(d))  # fetch = proof of execution
+        best = min(best, time.perf_counter() - t0)
+    return B * eff * T / best / 1e6
+
+
+def main():
     from __graft_entry__ import flagship_spec
     from pycusdr_tpu.dsp.block import build_process_block
     from pycusdr_tpu.dsp.reference import demod_block_numpy
-    from pycusdr_tpu.ops.cfft import c2ri
 
     spec = flagship_spec()
+    core = build_process_block(spec, jit=False)
+    eff_samples = spec.Nfft - spec.sigOverlap
+
+    msps = max(sustained_msps(core, spec, B) for B in (1, 16, 64))
+
+    # --- CPU reference (numpy transliteration of the reference chain) ---
     rng = np.random.RandomState(0)
     block = (
         rng.randn(spec.Nfft).astype(np.float32)
         + 1j * rng.randn(spec.Nfft).astype(np.float32)
     ).astype(np.complex64)
-    eff_samples = spec.Nfft - spec.sigOverlap
-
-    # --- device path ---
-    process = build_process_block(spec, jit=True)
-    dblock = jax.device_put(c2ri(block))
-    for _ in range(3):  # compile + warm
-        jax.block_until_ready(process(dblock))
-
-    # sustained streaming throughput: keep the pipeline full (the host
-    # loop double-buffers blocks in production; syncing per block would
-    # time the tunnel round-trip, not the chip). A production ground
-    # station demodulates several channels per dispatch, so measure a
-    # vmapped 4-block batch as well and report the better sustained rate.
-    # the tunnelled chip is shared: take the best of 3 sweeps per shape
-    # (exogenous stalls only ever subtract from the true rate)
-    n_iter = 40
-
-    def sweep(fn, arg, per_call):
-        best = 0.0
-        for _ in range(3):
-            t0 = time.perf_counter()
-            outs = [fn(arg) for _ in range(n_iter)]
-            jax.block_until_ready(outs)
-            dt = (time.perf_counter() - t0) / n_iter
-            best = max(best, per_call / dt / 1e6)
-        return best
-
-    msps_1 = sweep(process, dblock, eff_samples)
-
-    B = 4
-    process_b = jax.jit(jax.vmap(build_process_block(spec, jit=False)))
-    dbatch = jax.device_put(np.broadcast_to(c2ri(block), (B, 2, spec.Nfft)).copy())
-    for _ in range(3):
-        jax.block_until_ready(process_b(dbatch))
-    msps = max(msps_1, sweep(process_b, dbatch, B * eff_samples))
-
-    # --- CPU reference (numpy transliteration of the reference chain) ---
     demod_block_numpy(spec, block)  # warm-up (first call pays page-in costs)
     cpu_dt = min(time_fn(lambda b: demod_block_numpy(spec, b), 1, block)[0]
                  for _ in range(3))  # min-of-runs rejects host contention

@@ -161,7 +161,7 @@ class Demodulator:
 
         Batching amortizes the per-dispatch latency — on the tunnelled
         bench chip it takes the sustained rate from ~600 Msamples/s to
-        1-2.7 Gsamples/s (bench.py).
+        ~100 Msamples/s per chip sustained (bench.py; batched dispatch).
         """
         hops = np.ascontiguousarray(hops, dtype=np.complex64)
         K, hop = hops.shape
