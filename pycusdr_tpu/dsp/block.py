@@ -133,15 +133,23 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False)
             P2, spec.code_idx_lo, spec.code_idx_hi, N, spec.code_search_mask_offset
         )
 
-        symbols, centres, mags, nSym, spc = find_centres(
-            P2,
-            spSym,
-            codeOffset,
-            Nfft=N,
-            windowWidth=spec.windowWidth,
-            spsymMin=spec.spsymMin,
-            numSymMax=spec.numSymMax,
-        )
+        # the dilated interference mask rides the symbol-selection tree
+        # (sampled at each slot's winning sample) instead of a per-slot
+        # gather afterwards — batched gathers serialize on this backend
+        if not spec.disable_peak_thresholding:
+            spc_pre = jnp.maximum(spSym, float(spec.spsymMin))
+            hw = 2 * jnp.ceil(spc_pre).astype(jnp.int32)
+            clip_dil = dilate_mask_dynamic(clipped, hw)
+            symbols, centres, mags, nSym, spc, at_win = find_centres(
+                P2, spSym, codeOffset, Nfft=N, windowWidth=spec.windowWidth,
+                spsymMin=spec.spsymMin, numSymMax=spec.numSymMax,
+                clip_mask=clip_dil,
+            )
+        else:
+            symbols, centres, mags, nSym, spc = find_centres(
+                P2, spSym, codeOffset, Nfft=N, windowWidth=spec.windowWidth,
+                spsymMin=spec.spsymMin, numSymMax=spec.numSymMax,
+            )
 
         trust = jnp.full((spec.numSymMax,), trust_normal, dtype=jnp.int8)
         if bitLUT is not None:
@@ -153,12 +161,10 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False)
             nBits = nSym - 1
 
         # tag bits near clipped interference with trust -2
-        # (reference demodulator_base.py:818-837)
+        # (reference demodulator_base.py:818-837; at_win sampled by the
+        # selection tree above)
         if not spec.disable_peak_thresholding:
-            hw = 2 * jnp.ceil(spc).astype(jnp.int32)
-            dil = dilate_mask_dynamic(clipped, hw)
-            at_centres = jnp.take(dil, jnp.clip(centres, 0, N - 1))
-            trust = jnp.where(at_centres, jnp.int8(TRUST_CLIPPED), trust)
+            trust = jnp.where(at_win, jnp.int8(TRUST_CLIPPED), trust)
 
         return {
             "bits": bits,

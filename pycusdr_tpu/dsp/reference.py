@@ -217,7 +217,9 @@ def find_centres(X: np.ndarray, spec: DemodSpec, spSym: float, codeOffset: float
     """Windowed symbol detection (reference findCentres,
     cuda_kernels.cu:78-146, metric abs^2).
 
-    Returns (symbols, centres, magnitudes) for int(Nfft/spSym) symbols.
+    Returns (symbols, centres, magnitudes, win_abs) for
+    int(Nfft/spSym) symbols; ``win_abs`` is the absolute sample index of
+    each slot's winning magnitude (used for clip-trust tagging).
     """
     N = spec.Nfft
     W = spec.windowWidth
@@ -231,22 +233,24 @@ def find_centres(X: np.ndarray, spec: DemodSpec, spSym: float, codeOffset: float
     symbols = np.empty(nSym, dtype=np.int32)
     centres = np.empty(nSym, dtype=np.int32)
     mags = np.empty(nSym, dtype=np.float32)
+    win_abs = np.empty(nSym, dtype=np.int32)
 
     for x in range(nSym):
         base = x * spc - Wl + codeOffset
-        A = int(base)  # C-style trunc
-        comp = int(codeOffset)
-        if A < 0:
-            comp -= A
-            A = 0
-        L = min(int(base) + W, N) - A
-        win = P2[:, A : A + L]  # (M, L)
+        A0 = int(base)  # C-style trunc
+        comp = int(codeOffset) - min(A0, 0)
+        # clamped FULL window (matches ops.demod_kernels.find_centres;
+        # the CUDA kernel truncates edge windows instead — the affected
+        # first/last slots fall inside the healing overlap margin)
+        A = min(max(A0, 0), max(N - W, 0))
+        win = P2[:, A : A + W]  # (M, W)
         flat = int(np.argmax(win))  # row-major: mask-major like the CUDA loop
-        m, k = flat // L, flat % L
+        m, k = flat // W, flat % W
         symbols[x] = m
-        centres[x] = int(x * spc - Wl + k + comp)
+        centres[x] = int(x * spc - Wl + k) + comp
         mags[x] = win[m, k]
-    return symbols, centres, mags
+        win_abs[x] = A + k
+    return symbols, centres, mags, win_abs
 
 
 def extract_bits(symbols: np.ndarray, spec: DemodSpec):
@@ -308,7 +312,7 @@ def demod_block_numpy(spec: DemodSpec, samples: np.ndarray) -> dict:
     out["codeOffset"] = codeOffset
     out["code_val"] = code_val
 
-    symbols, centres, mags = find_centres(X, spec, spSym, codeOffset)
+    symbols, centres, mags, win_abs = find_centres(X, spec, spSym, codeOffset)
     out["symbols"] = symbols
     out["centres"] = centres
     out["mags"] = mags
@@ -326,7 +330,11 @@ def demod_block_numpy(spec: DemodSpec, samples: np.ndarray) -> dict:
         pp = np.zeros(spec.Nfft, dtype=bool)
         for cp in clipped:
             pp[max(cp - 2 * spc, 0) : cp + 2 * spc + 1] = True
-        cw = centres[: len(bits)]
+        # tag at the winning SAMPLE (matches ops.demod_kernels: the
+        # clip mask rides the selection tree; can differ from sampling
+        # at ``centres`` by the one-sample float-trunc skew — both
+        # implementations use the same convention)
+        cw = win_abs[: len(bits)]
         trust[pp[np.clip(cw, 0, spec.Nfft - 1)]] = -2
     out["trust"] = trust
     return out

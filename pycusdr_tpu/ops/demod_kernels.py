@@ -97,53 +97,101 @@ def find_code_rate_and_phase(P2: jnp.ndarray, idx_lo: int, idx_hi: int, Nfft: in
 
 
 def find_centres(P2: jnp.ndarray, spSym, codeOffset, *, Nfft: int, windowWidth: int,
-                 spsymMin: int, numSymMax: int):
+                 spsymMin: int, numSymMax: int, clip_mask=None):
     """Windowed symbol detection (parity: ``findCentres``,
     cuda_kernels.cu:78-146, abs² metric).
 
-    One symbol slot per predicted centre ``x*spSym + codeOffset``; scan a
-    ``windowWidth`` window across all mask rows; emit (winning mask,
-    centre sample, magnitude). Data-dependent positions are handled as a
-    static-shape gather of (numSymMax, W) windows with validity masking —
-    the symbol count is returned separately as ``nSym``.
+    One symbol slot per predicted centre ``x*spSym + codeOffset``; pick
+    the (mask, offset) with the largest magnitude in a ``windowWidth``
+    window; emit (winning mask, centre sample, magnitude).
+
+    TPU formulation: batched dynamic gathers serialize on this backend
+    (the naive (numSymMax, W) window read costs ~0.45 ms/block under
+    vmap), so the per-window max/argmax is precomputed for EVERY start
+    position with a log-shift sliding-window tree — pure elementwise
+    ops — and each slot then reads one column. Window placement at the
+    array edges is clamped to keep full W-sample windows (the CUDA
+    kernel truncates instead); the affected first/last slots lie inside
+    the overlap margin that block healing discards, and the numpy
+    golden (dsp/reference.py) matches this clamped semantic exactly.
+
+    ``clip_mask`` (optional, (Nfft,) bool): a dilated interference mask
+    carried through the selection tree and sampled at each slot's
+    winning sample — the trust −2 tagging of dsp/block.py without a
+    per-slot gather. When given, a 6th output (bool[numSymMax]) is
+    appended.
 
     Returns (symbols i32[numSymMax], centres i32[numSymMax],
-             mags f32[numSymMax], nSym i32, spc f32).
+             mags f32[numSymMax], nSym i32, spc f32[, clip b1[numSymMax]]).
     """
     W = windowWidth
     Wl = W // 2
     M = P2.shape[0]
+    N = Nfft
 
     spc = jnp.maximum(spSym, float(spsymMin))
     x = jnp.arange(numSymMax, dtype=jnp.float32)
     base = x * spc - Wl + codeOffset
     A0 = jnp.trunc(base).astype(jnp.int32)
     comp = jnp.trunc(codeOffset).astype(jnp.int32) - jnp.minimum(A0, 0)
-    A = jnp.maximum(A0, 0)
-    L = jnp.minimum(A0 + W, Nfft) - A  # per-slot valid window length
+    A = jnp.clip(A0, 0, max(N - W, 0))
 
-    k = jnp.arange(W, dtype=jnp.int32)
-    pos = jnp.clip(A[:, None] + k[None, :], 0, Nfft - 1)  # (numSymMax, W)
-    valid = (k[None, :] < L[:, None]) & (A[:, None] < Nfft)
+    def shift_left(arrs, n, fills):
+        out = []
+        for a, f in zip(arrs, fills):
+            pad = jnp.full((M, n), f, a.dtype)
+            out.append(jnp.concatenate([a[:, n:], pad], axis=1))
+        return out
 
-    G = jnp.take(P2, pos, axis=1)  # (M, numSymMax, W)
-    G = jnp.transpose(G, (1, 0, 2))  # (numSymMax, M, W)
-    G = jnp.where(valid[:, None, :], G, -1.0)
+    def combine(arrs, shifted):
+        right = shifted[0] > arrs[0]  # strict: ties keep the earlier index
+        return [jnp.where(right, s, a) for a, s in zip(arrs, shifted)]
 
-    flat = G.reshape(numSymMax, M * W)
-    arg = jnp.argmax(flat, axis=1)  # mask-major, first-max tie-break like CUDA
-    symbols = (arg // W).astype(jnp.int32)
-    maxK = (arg % W).astype(jnp.int32)
-    mags = jnp.take_along_axis(flat, arg[:, None], axis=1)[:, 0]
+    # V[:, j] -> max over P2[:, j:j+W), I -> its absolute index; any
+    # extra arrays ride along, selecting the winner's value
+    V = jnp.concatenate([P2, jnp.full((M, W), -1.0, P2.dtype)], axis=1)
+    I = jnp.broadcast_to(jnp.arange(N + W, dtype=jnp.int32)[None, :], V.shape)
+    arrs = [V, I]
+    fills = [-1.0, 0]
+    if clip_mask is not None:
+        Cm = jnp.broadcast_to(
+            jnp.concatenate([clip_mask.astype(jnp.int32),
+                             jnp.zeros((W,), jnp.int32)])[None, :], V.shape)
+        arrs.append(Cm)
+        fills.append(0)
+    span = 1
+    while span * 2 <= W:
+        arrs = combine(arrs, shift_left(arrs, span, fills))
+        span *= 2
+    if W - span > 0:  # two-cover for non-power-of-two windows
+        arrs = combine(arrs, shift_left(arrs, W - span, fills))
+    V, I = arrs[0], arrs[1]
+
+    Rv = jnp.take(V, A, axis=1)  # (M, numSymMax) one shared-index gather
+    Ri = jnp.take(I, A, axis=1)
+
+    symbols = jnp.argmax(Rv, axis=0).astype(jnp.int32)  # first-max, mask-major
+    mags = jnp.max(Rv, axis=0)
+    j_win = jnp.take_along_axis(Ri, symbols[None, :], axis=0)[0]
+    maxK = (j_win - A).astype(jnp.int32)
 
     centres = jnp.trunc(x * spc - Wl + maxK.astype(jnp.float32)).astype(jnp.int32) + comp
     nSym = (Nfft / spc).astype(jnp.int32)
+    if clip_mask is not None:
+        Rc = jnp.take(arrs[2], A, axis=1)
+        at_win = jnp.take_along_axis(Rc, symbols[None, :], axis=0)[0] > 0
+        return symbols, centres, mags, nSym, spc, at_win
     return symbols, centres, mags, nSym, spc
 
 
 def extract_bits_lut(symbols: jnp.ndarray, bitLUT: jnp.ndarray) -> jnp.ndarray:
-    """Centre-bit LUT path (reference demodulator_base.py:1012-1023)."""
-    return jnp.take(bitLUT, symbols, axis=0).astype(jnp.int8)
+    """Centre-bit LUT path (reference demodulator_base.py:1012-1023).
+
+    One-hot select instead of ``jnp.take``: the LUT has only num_masks
+    entries and batched gathers serialize on this backend."""
+    M = bitLUT.shape[0]
+    sel = symbols[:, None] == jnp.arange(M, dtype=symbols.dtype)[None, :]
+    return (sel * bitLUT[None, :].astype(jnp.int32)).sum(axis=1).astype(jnp.int8)
 
 
 def extract_bits_nrzs(symbols: jnp.ndarray, symbolLUT: jnp.ndarray):
@@ -166,20 +214,33 @@ def extract_bits_nrzs(symbols: jnp.ndarray, symbolLUT: jnp.ndarray):
     return bits, err
 
 
-def dilate_mask_dynamic(mask: jnp.ndarray, halfwidth) -> jnp.ndarray:
+def dilate_mask_dynamic(mask: jnp.ndarray, halfwidth,
+                        hw_max: int = 2048) -> jnp.ndarray:
     """Binary dilation with a runtime-valued half width via prefix sums.
 
     Used to tag trust −2 within ±2·spSym of clipped interference peaks
     (reference demodulator_base.py:830-837).
+
+    The windowed count ``c[i+hw] - c[i-hw-1]`` is read with two
+    CONTIGUOUS ``dynamic_slice``s of a padded cumsum instead of two
+    N-element gathers — dynamic 1-D gathers serialize on the TPU
+    (measured ~2 ms/block at N=2^16; the slices are ~free). Exact for
+    ``halfwidth <= hw_max``; wider requests clamp (a dilation radius
+    beyond 2048 samples only arises from garbage symbol-rate estimates
+    on pure noise, where trust tagging is moot anyway).
     """
     N = mask.shape[0]
     c = jnp.cumsum(mask.astype(jnp.int32))
-    i = jnp.arange(N, dtype=jnp.int32)
-    hw = halfwidth.astype(jnp.int32)
-    hi = jnp.clip(i + hw, 0, N - 1)
-    lo = i - hw - 1
-    c_lo = jnp.where(lo >= 0, jnp.take(c, jnp.clip(lo, 0, N - 1)), 0)
-    return (jnp.take(c, hi) - c_lo) > 0
+    hw = jnp.clip(halfwidth.astype(jnp.int32), 0, hw_max)
+    # cp[j] = c[j - (hw_max+1)], with c = 0 before the start and
+    # c[N-1] past the end (matches the clip-to-edge semantics)
+    cp = jnp.concatenate([
+        jnp.zeros((hw_max + 1,), jnp.int32), c,
+        jnp.full((hw_max,), c[N - 1], jnp.int32),
+    ])
+    hi = jax.lax.dynamic_slice(cp, (hw_max + 1 + hw,), (N,))  # c[min(i+hw, N-1)]
+    lo = jax.lax.dynamic_slice(cp, (hw_max - hw,), (N,))      # c[i-hw-1] or 0
+    return (hi - lo) > 0
 
 
 def compute_snr(absS: jnp.ndarray, fft_lo, fft_hi, window: int, Nfft: int):

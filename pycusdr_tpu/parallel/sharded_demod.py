@@ -47,34 +47,51 @@ def _local_find_centres(P2_local, spSym, codeOffset, *, Nfft, windowWidth, spsym
     """Shard-local half of the windowed symbol argmax.
 
     Same index math as ``ops.demod_kernels.find_centres`` (parity:
-    ``cuda_kernels.cu:78-146``) but only over the local mask rows;
-    returns (local max value, local flat argmax, geometry) so the global
-    argmax can be reduced across the ``dopp`` axis with the same
-    mask-major first-max tie-break as the CUDA kernel.
+    ``cuda_kernels.cu:78-146``; clamped full-window edge semantics and
+    the gather-free sliding-window max/argmax tree — see that docstring)
+    but only over the local mask rows; returns (local max value, local
+    flat argmax ``m_local*W + k``, geometry) so the global argmax can be
+    reduced across the ``dopp`` axis with the same mask-major first-max
+    tie-break as the CUDA kernel.
     """
     W = windowWidth
     Wl = W // 2
     Ml = P2_local.shape[0]
+    N = Nfft
 
     spc = jnp.maximum(spSym, float(spsymMin))
     x = jnp.arange(numSymMax, dtype=jnp.float32)
     base = x * spc - Wl + codeOffset
     A0 = jnp.trunc(base).astype(jnp.int32)
     comp = jnp.trunc(codeOffset).astype(jnp.int32) - jnp.minimum(A0, 0)
-    A = jnp.maximum(A0, 0)
-    L = jnp.minimum(A0 + W, Nfft) - A
+    A = jnp.clip(A0, 0, max(N - W, 0))
 
-    k = jnp.arange(W, dtype=jnp.int32)
-    pos = jnp.clip(A[:, None] + k[None, :], 0, Nfft - 1)
-    valid = (k[None, :] < L[:, None]) & (A[:, None] < Nfft)
+    def shift_left(V, I, n):
+        Vs = jnp.concatenate([V[:, n:], jnp.full((Ml, n), -1.0, V.dtype)], axis=1)
+        Is = jnp.concatenate([I[:, n:], jnp.zeros((Ml, n), jnp.int32)], axis=1)
+        return Vs, Is
 
-    G = jnp.take(P2_local, pos, axis=1)  # (Ml, numSymMax, W)
-    G = jnp.transpose(G, (1, 0, 2))
-    G = jnp.where(valid[:, None, :], G, -1.0)
+    def combine(V, I, Vs, Is):
+        right = Vs > V  # strict: ties keep the earlier index
+        return jnp.where(right, Vs, V), jnp.where(right, Is, I)
 
-    flat = G.reshape(numSymMax, Ml * W)
-    arg = jnp.argmax(flat, axis=1)
-    val = jnp.take_along_axis(flat, arg[:, None], axis=1)[:, 0]
+    V = jnp.concatenate([P2_local, jnp.full((Ml, W), -1.0, P2_local.dtype)], axis=1)
+    I = jnp.broadcast_to(jnp.arange(N + W, dtype=jnp.int32)[None, :], V.shape)
+    span = 1
+    while span * 2 <= W:
+        V, I = combine(V, I, *shift_left(V, I, span))
+        span *= 2
+    if W - span > 0:
+        V, I = combine(V, I, *shift_left(V, I, W - span))
+
+    Rv = jnp.take(V, A, axis=1)  # (Ml, numSymMax)
+    Ri = jnp.take(I, A, axis=1)
+    m_l = jnp.argmax(Rv, axis=0).astype(jnp.int32)
+    val = jnp.max(Rv, axis=0)
+    j_win = jnp.take_along_axis(Ri, m_l[None, :], axis=0)[0]
+    k_win = (j_win - A).astype(jnp.int32)
+
+    arg = m_l * W + k_win
     nSym = (Nfft / spc).astype(jnp.int32)
     return val, arg.astype(jnp.int32), x, spc, comp, nSym
 
@@ -235,16 +252,23 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
         if clipped is not None:
             # trust -2 within ±2·spSym of clipped interference, matching
             # the single-chip path (dsp/block.py / reference
-            # demodulator_base.py:818-837)
+            # demodulator_base.py:818-837) — sampled at the winning
+            # SAMPLE like ops.demod_kernels.find_centres(clip_mask=...)
             from pycusdr_tpu.ops.demod_kernels import dilate_mask_dynamic
 
+            Wl_ = W // 2
+            A0 = jnp.trunc(
+                x * spc[:, None] - Wl_ + codeOffset[:, None]
+            ).astype(jnp.int32)
+            A_cl = jnp.clip(A0, 0, max(N - W, 0))
+            win_abs = A_cl + maxK
             hw = 2 * jnp.ceil(spc).astype(jnp.int32)  # (Cl,)
-            at_centres = jax.vmap(
-                lambda cl, h, ce: jnp.take(
-                    dilate_mask_dynamic(cl, h), jnp.clip(ce, 0, N - 1)
+            at_win = jax.vmap(
+                lambda cl, h, wa: jnp.take(
+                    dilate_mask_dynamic(cl, h), jnp.clip(wa, 0, N - 1)
                 )
-            )(clipped, hw, centres)
-            trust = jnp.where(at_centres, jnp.int8(-2), trust)
+            )(clipped, hw, win_abs)
+            trust = jnp.where(at_win, jnp.int8(-2), trust)
 
         out = {
             "bits": bits,
