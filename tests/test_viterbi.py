@@ -137,3 +137,32 @@ def test_soft_erasures_beat_hard_decisions():
     err_hard = int(np.sum(dec_hard != bits))
     assert err_soft == 0, f"soft decode left {err_soft} errors"
     assert err_hard > err_soft  # erasure knowledge must help
+
+
+def test_stream_soft_chunked_matches_oneshot():
+    """Soft-decision streaming: chunked erasure-weighted feed matches
+    the one-shot soft decode."""
+    from pycusdr_tpu.ops.viterbi import ViterbiStream, conv_encode, viterbi_decode
+
+    rng = np.random.RandomState(13)
+    bits = rng.randint(0, 2, 3000).astype(np.uint8)
+    sym = conv_encode(bits).astype(np.float32) * 2 - 1
+    erased = rng.rand(len(sym)) < 0.10
+    sym[erased] = 0.0
+    flip = (rng.rand(len(sym)) < 0.02) & ~erased
+    sym[flip] *= -1
+
+    oneshot = viterbi_decode(sym, n_bits=3000, soft=True)
+
+    vs = ViterbiStream(soft=True)
+    out = []
+    pos = 0
+    for chunk in [900, 1400, 1100, 1700, 912]:
+        out.append(vs.feed(sym[pos : pos + chunk]))
+        pos += chunk
+    assert pos == len(sym)
+    streamed = np.concatenate(out)
+    n = min(len(streamed), 3000)
+    assert n >= 3000 - 128
+    np.testing.assert_array_equal(streamed[:n], oneshot[:n])
+    assert vs.parity == 0  # no spurious resync on a clean soft stream
