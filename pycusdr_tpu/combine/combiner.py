@@ -19,7 +19,11 @@ import logging
 import queue
 import signal
 import time
-from multiprocessing import Event, Process, Queue
+import multiprocessing
+
+# spawn, never fork (see runtime/decoder_process)
+_mp = multiprocessing.get_context("spawn")
+Event, Process, Queue = _mp.Event, _mp.Process, _mp.Queue
 
 import numpy as np
 import zmq
@@ -50,8 +54,14 @@ class SoftCombiner(Process):
         self.compareInterval = c["processingInterval"]  # s
         self.varMultiplier = c["varianceMultiplier"]
         self.masterVoteWeight = c["masterVoteWeight"]
+        self.logLevel = log.getEffectiveLevel()
 
         self.getWorkerStatsFlag = Event()
+        # set once the ZMQ sockets are bound: spawn-start takes ~1-2 s
+        # (interpreter boot), so senders should wait on this instead of
+        # sleeping — a burst backlog landing on a freshly-booted
+        # combiner makes the first vote round span whole buffers
+        self.ready = Event()
         self.workersSubmittedToRPCQueue = Queue()
 
         self.daemon = True
@@ -172,6 +182,9 @@ class SoftCombiner(Process):
     # ---------------- main loop ----------------
 
     def run(self):
+        from pycusdr_tpu.utils.logger import child_logger_setup
+
+        child_logger_setup(self.logLevel)
         time.sleep(0.5)
         ctx = zmq.Context()
         log.info("Registering demodulator input socket on %s", self.demodInAddr)
@@ -182,6 +195,7 @@ class SoftCombiner(Process):
         log.info("Registering decoder output socket on %s", self.decoderOutAddr)
         self.decodeOut = ctx.socket(zmq.PUSH)
         self.decodeOut.connect(self.decoderOutAddr)
+        self.ready.set()
 
         poller = zmq.Poller()
         poller.register(demodIn, zmq.POLLIN)

@@ -96,45 +96,18 @@ def find_code_rate_and_phase(P2: jnp.ndarray, idx_lo: int, idx_hi: int, Nfft: in
     return spSym, codeOffset, val
 
 
-def find_centres(P2: jnp.ndarray, spSym, codeOffset, *, Nfft: int, windowWidth: int,
-                 spsymMin: int, numSymMax: int, clip_mask=None):
-    """Windowed symbol detection (parity: ``findCentres``,
-    cuda_kernels.cu:78-146, abs² metric).
+def sliding_window_argmax(P2: jnp.ndarray, W: int, extras=()):
+    """Per-position window max/argmax: V[:, j] = max P2[:, j:j+W),
+    I[:, j] = its absolute column index (earliest on ties), computed
+    with a log-shift elementwise tree — no gathers (batched dynamic
+    gathers serialize on this TPU backend). ``extras``: (row,) arrays
+    carried through the selection, returning the winner's value.
 
-    One symbol slot per predicted centre ``x*spSym + codeOffset``; pick
-    the (mask, offset) with the largest magnitude in a ``windowWidth``
-    window; emit (winning mask, centre sample, magnitude).
-
-    TPU formulation: batched dynamic gathers serialize on this backend
-    (the naive (numSymMax, W) window read costs ~0.45 ms/block under
-    vmap), so the per-window max/argmax is precomputed for EVERY start
-    position with a log-shift sliding-window tree — pure elementwise
-    ops — and each slot then reads one column. Window placement at the
-    array edges is clamped to keep full W-sample windows (the CUDA
-    kernel truncates instead); the affected first/last slots lie inside
-    the overlap margin that block healing discards, and the numpy
-    golden (dsp/reference.py) matches this clamped semantic exactly.
-
-    ``clip_mask`` (optional, (Nfft,) bool): a dilated interference mask
-    carried through the selection tree and sampled at each slot's
-    winning sample — the trust −2 tagging of dsp/block.py without a
-    per-slot gather. When given, a 6th output (bool[numSymMax]) is
-    appended.
-
-    Returns (symbols i32[numSymMax], centres i32[numSymMax],
-             mags f32[numSymMax], nSym i32, spc f32[, clip b1[numSymMax]]).
+    Returns (V, I, *extras_selected), each (rows, N + W) with the last
+    W columns padded (-1 for values, 0 for indices/extras).
     """
-    W = windowWidth
-    Wl = W // 2
     M = P2.shape[0]
-    N = Nfft
-
-    spc = jnp.maximum(spSym, float(spsymMin))
-    x = jnp.arange(numSymMax, dtype=jnp.float32)
-    base = x * spc - Wl + codeOffset
-    A0 = jnp.trunc(base).astype(jnp.int32)
-    comp = jnp.trunc(codeOffset).astype(jnp.int32) - jnp.minimum(A0, 0)
-    A = jnp.clip(A0, 0, max(N - W, 0))
+    N = P2.shape[1]
 
     def shift_left(arrs, n, fills):
         out = []
@@ -147,17 +120,14 @@ def find_centres(P2: jnp.ndarray, spSym, codeOffset, *, Nfft: int, windowWidth: 
         right = shifted[0] > arrs[0]  # strict: ties keep the earlier index
         return [jnp.where(right, s, a) for a, s in zip(arrs, shifted)]
 
-    # V[:, j] -> max over P2[:, j:j+W), I -> its absolute index; any
-    # extra arrays ride along, selecting the winner's value
     V = jnp.concatenate([P2, jnp.full((M, W), -1.0, P2.dtype)], axis=1)
     I = jnp.broadcast_to(jnp.arange(N + W, dtype=jnp.int32)[None, :], V.shape)
     arrs = [V, I]
     fills = [-1.0, 0]
-    if clip_mask is not None:
-        Cm = jnp.broadcast_to(
-            jnp.concatenate([clip_mask.astype(jnp.int32),
-                             jnp.zeros((W,), jnp.int32)])[None, :], V.shape)
-        arrs.append(Cm)
+    for e in extras:
+        arrs.append(jnp.broadcast_to(
+            jnp.concatenate([e.astype(jnp.int32),
+                             jnp.zeros((W,), jnp.int32)])[None, :], V.shape))
         fills.append(0)
     span = 1
     while span * 2 <= W:
@@ -165,7 +135,49 @@ def find_centres(P2: jnp.ndarray, spSym, codeOffset, *, Nfft: int, windowWidth: 
         span *= 2
     if W - span > 0:  # two-cover for non-power-of-two windows
         arrs = combine(arrs, shift_left(arrs, W - span, fills))
-    V, I = arrs[0], arrs[1]
+    return tuple(arrs)
+
+
+def find_centres(P2: jnp.ndarray, spSym, codeOffset, *, Nfft: int, windowWidth: int,
+                 spsymMin: int, numSymMax: int, clip_mask=None):
+    """Windowed symbol detection (parity: ``findCentres``,
+    cuda_kernels.cu:78-146, abs² metric).
+
+    One symbol slot per predicted centre ``x*spSym + codeOffset``; pick
+    the (mask, offset) with the largest magnitude in a ``windowWidth``
+    window; emit (winning mask, centre sample, magnitude).
+
+    TPU formulation: the per-window max/argmax is precomputed for EVERY
+    start position (``sliding_window_argmax``) and each slot reads one
+    column. Window placement at the array edges is clamped to keep full
+    W-sample windows (the CUDA kernel truncates instead); the affected
+    first/last slots lie inside the overlap margin that block healing
+    discards, and the numpy golden (dsp/reference.py) matches this
+    clamped semantic exactly.
+
+    ``clip_mask`` (optional, (Nfft,) bool): a dilated interference mask
+    carried through the selection tree and sampled at each slot's
+    winning sample — the trust −2 tagging of dsp/block.py without a
+    per-slot gather. When given, a 6th output (bool[numSymMax]) is
+    appended.
+
+    Returns (symbols i32[numSymMax], centres i32[numSymMax],
+             mags f32[numSymMax], nSym i32, spc f32[, clip b1[numSymMax]]).
+    """
+    W = windowWidth
+    Wl = W // 2
+    N = Nfft
+
+    spc = jnp.maximum(spSym, float(spsymMin))
+    x = jnp.arange(numSymMax, dtype=jnp.float32)
+    base = x * spc - Wl + codeOffset
+    A0 = jnp.trunc(base).astype(jnp.int32)
+    comp = jnp.trunc(codeOffset).astype(jnp.int32) - jnp.minimum(A0, 0)
+    A = jnp.clip(A0, 0, max(N - W, 0))
+
+    extras = () if clip_mask is None else (clip_mask,)
+    out = sliding_window_argmax(P2, W, extras)
+    V, I = out[0], out[1]
 
     Rv = jnp.take(V, A, axis=1)  # (M, numSymMax) one shared-index gather
     Ri = jnp.take(I, A, axis=1)
@@ -178,7 +190,7 @@ def find_centres(P2: jnp.ndarray, spSym, codeOffset, *, Nfft: int, windowWidth: 
     centres = jnp.trunc(x * spc - Wl + maxK.astype(jnp.float32)).astype(jnp.int32) + comp
     nSym = (Nfft / spc).astype(jnp.int32)
     if clip_mask is not None:
-        Rc = jnp.take(arrs[2], A, axis=1)
+        Rc = jnp.take(out[2], A, axis=1)
         at_win = jnp.take_along_axis(Rc, symbols[None, :], axis=0)[0] > 0
         return symbols, centres, mags, nSym, spc, at_win
     return symbols, centres, mags, nSym, spc

@@ -47,16 +47,17 @@ def _local_find_centres(P2_local, spSym, codeOffset, *, Nfft, windowWidth, spsym
     """Shard-local half of the windowed symbol argmax.
 
     Same index math as ``ops.demod_kernels.find_centres`` (parity:
-    ``cuda_kernels.cu:78-146``; clamped full-window edge semantics and
-    the gather-free sliding-window max/argmax tree — see that docstring)
-    but only over the local mask rows; returns (local max value, local
-    flat argmax ``m_local*W + k``, geometry) so the global argmax can be
-    reduced across the ``dopp`` axis with the same mask-major first-max
+    ``cuda_kernels.cu:78-146``; clamped full-window edge semantics, the
+    gather-free ``sliding_window_argmax`` tree) but only over the local
+    mask rows; returns (local max value, local flat argmax
+    ``m_local*W + k``, geometry) so the global argmax can be reduced
+    across the ``dopp`` axis with the same mask-major first-max
     tie-break as the CUDA kernel.
     """
+    from pycusdr_tpu.ops.demod_kernels import sliding_window_argmax
+
     W = windowWidth
     Wl = W // 2
-    Ml = P2_local.shape[0]
     N = Nfft
 
     spc = jnp.maximum(spSym, float(spsymMin))
@@ -66,23 +67,7 @@ def _local_find_centres(P2_local, spSym, codeOffset, *, Nfft, windowWidth, spsym
     comp = jnp.trunc(codeOffset).astype(jnp.int32) - jnp.minimum(A0, 0)
     A = jnp.clip(A0, 0, max(N - W, 0))
 
-    def shift_left(V, I, n):
-        Vs = jnp.concatenate([V[:, n:], jnp.full((Ml, n), -1.0, V.dtype)], axis=1)
-        Is = jnp.concatenate([I[:, n:], jnp.zeros((Ml, n), jnp.int32)], axis=1)
-        return Vs, Is
-
-    def combine(V, I, Vs, Is):
-        right = Vs > V  # strict: ties keep the earlier index
-        return jnp.where(right, Vs, V), jnp.where(right, Is, I)
-
-    V = jnp.concatenate([P2_local, jnp.full((Ml, W), -1.0, P2_local.dtype)], axis=1)
-    I = jnp.broadcast_to(jnp.arange(N + W, dtype=jnp.int32)[None, :], V.shape)
-    span = 1
-    while span * 2 <= W:
-        V, I = combine(V, I, *shift_left(V, I, span))
-        span *= 2
-    if W - span > 0:
-        V, I = combine(V, I, *shift_left(V, I, W - span))
+    V, I = sliding_window_argmax(P2_local, W)
 
     Rv = jnp.take(V, A, axis=1)  # (Ml, numSymMax)
     Ri = jnp.take(I, A, axis=1)

@@ -13,7 +13,12 @@ import logging
 import signal
 import sys
 import time
-from multiprocessing import Event, Process
+import multiprocessing
+
+# spawn, never fork: the orchestrator's parent process is multi-threaded
+# (jax, zmq, logging); a forked child can deadlock on inherited locks
+_mp = multiprocessing.get_context("spawn")
+Event, Process = _mp.Event, _mp.Process
 
 import numpy as np
 
@@ -40,6 +45,7 @@ class Decoder(Process):
         self.name = "Decoder"
         self.conf = conf
         self.protocol = protocol  # dict of protocols, or a single one
+        self.logLevel = log.getEffectiveLevel()
 
         external = conf["Interfaces"].get("External", {})
         if "decodeBytesOut_ZMQ" not in external:
@@ -77,6 +83,13 @@ class Decoder(Process):
 
     def run(self):
         import zmq
+
+        from pycusdr_tpu.globals import apply_platform_override
+        from pycusdr_tpu.utils.logger import child_logger_setup
+
+        child_logger_setup(self.logLevel)
+        apply_platform_override()  # the frame finder may lazily import
+        # jax (streaming Viterbi preprocessor) — honor the env override
 
         ctx = zmq.Context()
         log.info("Configuring decoder input socket: %s", self.decodeInAddr)

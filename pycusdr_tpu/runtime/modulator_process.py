@@ -11,7 +11,11 @@ exposed as locked ``multiprocessing.Value`` properties.
 import logging
 import signal
 import time
-from multiprocessing import Event, Process, Value
+import multiprocessing
+
+# spawn, never fork (see decoder_process)
+_mp = multiprocessing.get_context("spawn")
+Event, Process, Value = _mp.Event, _mp.Process, _mp.Value
 
 import numpy as np
 
@@ -30,6 +34,7 @@ class Modulator_process(Process):
         Process.__init__(self)
         self.conf = conf
         self.protocol = protocol
+        self.logLevel = log.getEffectiveLevel()
         if radioName:
             self.name = radioName
             self.confRadio = conf["Radios"]["Tx"][radioName]
@@ -59,6 +64,11 @@ class Modulator_process(Process):
     def run(self):
         import zmq
 
+        from pycusdr_tpu.globals import apply_platform_override
+        from pycusdr_tpu.utils.logger import child_logger_setup
+
+        child_logger_setup(self.logLevel)
+        apply_platform_override()
         time.sleep(0.5)
         ctx = zmq.Context()
         interfaces = self.confRadio.get("Interfaces", {})

@@ -190,7 +190,8 @@ class TestSoftCombinerProcess:
         comb = SoftCombiner(conf)
         comb.start()
         try:
-            time.sleep(0.8)  # let sockets bind
+            assert comb.ready.wait(20), "combiner did not come up"
+            time.sleep(0.3)
             blocks = {k: np.array_split(v, n_blocks) for k, v in streams.items()}
             for i in range(n_blocks):
                 for wid, chunks in blocks.items():
