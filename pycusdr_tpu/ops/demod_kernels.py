@@ -217,8 +217,13 @@ def extract_bits_nrzs(symbols: jnp.ndarray, symbolLUT: jnp.ndarray):
     """
     s_prev = symbols
     s_next = jnp.roll(symbols, -1)
-    ones_tbl = jnp.take(symbolLUT[:, 0, :], s_prev, axis=0)  # (n, K)
-    zeros_tbl = jnp.take(symbolLUT[:, 1, :], s_prev, axis=0)
+    # one-hot row selection instead of jnp.take: batched gathers
+    # serialize on this backend, a (n, M) x (M, K) matmul does not
+    M = symbolLUT.shape[0]
+    sel = (s_prev[:, None] == jnp.arange(M, dtype=s_prev.dtype)[None, :]
+           ).astype(jnp.int32)
+    ones_tbl = sel @ symbolLUT[:, 0, :].astype(jnp.int32)  # (n, K)
+    zeros_tbl = sel @ symbolLUT[:, 1, :].astype(jnp.int32)
     res1 = jnp.any(s_next[:, None] == ones_tbl, axis=1)
     res0 = jnp.any(s_next[:, None] == zeros_tbl, axis=1)
     err = ~(res1 | res0)
