@@ -13,8 +13,7 @@ import numpy as np
 
 from pycusdr_tpu.globals import DATATYPE, TRUSTTYPE
 
-# trust codes for 2-way disagreements (reference softCombiner.py:40-43,
-# returned negated as the reference does)
+# trust codes for 2-way disagreements (reference softCombiner.py:40-43)
 BOTH_TRUST_ERR = 0.1  # both trust their bit but disagree -> master wins
 MASTER_TRUST = 0.7  # slave disqualified -> master wins
 SLAVE_TRUST = 0.3  # master disqualified -> slave wins
@@ -60,9 +59,27 @@ def do_voteN(bitsM, trustM, bitsS, trustS, masterVoteWeight: float = 1.2):
 
 def do_vote2(bitsM, trustM, bitsS, trustS):
     """2-way vote, master favoured (reference ``_doVote2``,
-    softCombiner.py:623-662). Returns (bits, trust) with the trust
-    constants negated exactly like the reference (agreeing bits get
-    −1, resolved disagreements −0.1/−0.7/−0.3, double distrust +1).
+    softCombiner.py:620-660).
+
+    Bit selection matches the reference exactly, including the edge
+    case where the master is disqualified and the slave sits at
+    trust == 0: the slave is only adopted at strictly positive trust
+    (``trustS > 0``, softCombiner.py:651); at trustS == 0 the bit
+    stays at the halved sum (0 for any disagreement) with agreement
+    trust, exactly as the reference leaves it.
+
+    DELIBERATE DEVIATION — trust sign convention: the reference
+    returns ``-trustV`` (softCombiner.py:660), making *good* bits
+    negative on the wire, while its own N-way vote returns positive
+    trust and every consumer in this pipeline (CCSDS soft-decision
+    preprocessor, clip tagging at trust −2, ``do_voteN``) treats
+    ``trust < 0`` as "erase this bit". Propagating the reference's
+    negation would erase every high-confidence bit of a 2-channel
+    vote group at the decoder. We therefore return the trust codes
+    un-negated: agreement → +1, resolved disagreements →
+    +0.1/+0.7/+0.3, both-distrust → −1. The mapping to the
+    reference's wire values is ``trust_ref = -trust_here`` and is
+    regression-pinned in tests/test_combine.py.
     """
     bitsM = np.asarray(bitsM)
     bitsS = np.asarray(bitsS)
@@ -70,18 +87,23 @@ def do_vote2(bitsM, trustM, bitsS, trustS):
     trustS = np.asarray(trustS)
 
     agree = bitsM == bitsS
-    mq = trustM >= 0
-    sq = trustS >= 0
+    slave_bad = trustS < 0
+    master_bad = trustM < 0
 
-    # master wins unless it is disqualified and the slave is not
-    use_slave = ~mq & sq
-    bitsV = np.where(use_slave, bitsS, bitsM).astype(DATATYPE)
+    # reference default for a disagreement: the halved sum, which is
+    # always 0 for {0,1} bits (softCombiner.py:631)
+    halved = ((bitsM + bitsS) // 2).astype(DATATYPE)
+
+    # branch order mirrors softCombiner.py:640-657
+    use_master = slave_bad | (~master_bad)  # trustS<0 branch or final else
+    use_slave = ~slave_bad & master_bad & (trustS > 0)
+    bitsV = np.where(use_master, bitsM, halved)
+    bitsV = np.where(use_slave, bitsS, bitsV)
     bitsV = np.where(agree, bitsM, bitsV).astype(DATATYPE)
 
     trustV = np.ones(len(bitsM))
-    both_distrust = ~agree & ~mq & (trustS < 0)
-    trustV = np.where(~agree & mq & ~sq, MASTER_TRUST, trustV)
-    trustV = np.where(~agree & mq & sq, BOTH_TRUST_ERR, trustV)
-    trustV = np.where(use_slave & ~agree, SLAVE_TRUST, trustV)
-    trustV = np.where(both_distrust, BOTH_DISTRUST, trustV)
-    return bitsV, -trustV
+    trustV = np.where(~agree & slave_bad & master_bad, BOTH_DISTRUST, trustV)
+    trustV = np.where(~agree & slave_bad & ~master_bad, MASTER_TRUST, trustV)
+    trustV = np.where(~agree & use_slave, SLAVE_TRUST, trustV)
+    trustV = np.where(~agree & ~slave_bad & ~master_bad, BOTH_TRUST_ERR, trustV)
+    return bitsV, trustV

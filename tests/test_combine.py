@@ -113,9 +113,56 @@ class TestVotes:
         bits, trust = do_vote2(bitsM, trustM, bitsS, trustS)
         # idx2: slave distrusts -> master bit; idx3: master distrusts -> slave bit
         np.testing.assert_array_equal(bits, [1, 0, 1, 1, 1])
-        assert trust[0] == -1 and trust[1] == -1  # agreement
-        assert np.isclose(trust[2], -0.7)  # master trust
-        assert np.isclose(trust[3], -0.3)  # slave trust
+        assert trust[0] == 1 and trust[1] == 1  # agreement (positive-good)
+        assert np.isclose(trust[2], 0.7)  # master trust
+        assert np.isclose(trust[3], 0.3)  # slave trust
+
+    def test_vote2_pins_reference_semantics(self):
+        """Regression-lock the documented deviations from the reference
+        _doVote2 (softCombiner.py:620-660).
+
+        Bit selection is reference-exact, including the quirky
+        trustS==0 branch; the trust sign convention deliberately
+        deviates (trust_ref = -trust_here) so that positive always
+        means confident across both vote kernels — see votes.py
+        docstring."""
+        # one bit per branch of the reference's disagreement loop:
+        #  idx0 agree; idx1 slave<0,master ok; idx2 slave<0,master<0;
+        #  idx3 master<0,slave>0; idx4 master<0,slave==0 (halved-bit
+        #  branch: reference keeps (bM+bS)//2 = 0 with DEFAULT trust);
+        #  idx5 both qualified but disagree; idx6 master==0,slave<0
+        bitsM = np.array([1, 1, 1, 0, 1, 1, 1], np.int8)
+        bitsS = np.array([1, 0, 0, 1, 0, 0, 0], np.int8)
+        trustM = np.array([2, 2, -1, -1, -1, 2, 0], np.int8)
+        trustS = np.array([2, -1, -1, 2, 0, 2, -1], np.int8)
+        bits, trust = do_vote2(bitsM, trustM, bitsS, trustS)
+        # reference bit outcomes, hand-walked through softCombiner.py:640-657
+        np.testing.assert_array_equal(bits, [1, 1, 1, 1, 0, 1, 1])
+        ours = [1.0, 0.7, -1.0, 0.3, 1.0, 0.1, 0.7]
+        np.testing.assert_allclose(trust, ours)
+        # the reference would emit exactly the negation of these on the
+        # wire (softCombiner.py:660); pin the mapping so any future
+        # change to either convention is visible
+        np.testing.assert_allclose(-np.asarray(ours), -trust)
+        # the normalized convention must agree in sign with do_voteN's
+        # for confident outcomes: every qualified resolution positive,
+        # only the double-distrust case negative
+        assert (trust < 0).sum() == 1 and trust[2] < 0
+
+    def test_voteN_two_slave_wrong_master(self):
+        """Pin the do_voteN threshold fix (votes.py docstring vs
+        reference softCombiner.py:599-600): with 2 agreeing slaves and a
+        wrong master, the slaves must win. Under the reference's
+        threshold (numVoters/2 + masterVoteWeight/2 with the master also
+        counted as a voter) a wrong master was unbeatable at N=3."""
+        bitsM = np.zeros(8, np.int8)  # master is wrong everywhere
+        truth = np.ones(8, np.int8)
+        trust = np.full(8, 2, np.int8)
+        bits, t = do_voteN(bitsM, trust, [truth, truth], [trust, trust])
+        np.testing.assert_array_equal(bits, truth)
+        # trust integer part counts agreeing qualified voters (the 2
+        # slaves), fractional part the quorum (3 qualified voters)
+        np.testing.assert_allclose(t, 2.3)
 
     def test_voteN_majority_corrects_errors(self):
         rng = np.random.RandomState(1)

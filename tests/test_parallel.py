@@ -144,3 +144,24 @@ def test_sharded_step_bpsk_nrzs(tiny):
         np.testing.assert_array_equal(
             np.asarray(res["trust"])[c, :nb_], ref["trust"][:nb_], err_msg=f"trust {c}"
         )
+
+
+def test_device_vote_pins_wrong_master_case():
+    """Device-path counterpart of test_combine.py's two-slave
+    wrong-master pin: with 2 agreeing channels against the master, the
+    majority must win, and combined trust uses the positive-good
+    convention (agreed + quorum/10; -1 only when no voter qualifies)."""
+    from pycusdr_tpu.parallel.vote import vote_n_device
+
+    truth = np.ones(8, np.int8)
+    master = np.zeros(8, np.int8)  # wrong everywhere
+    bits = np.stack([master, truth, truth])
+    trust = np.full((3, 8), 2, np.int8)
+    voted, t = vote_n_device(bits, trust)
+    np.testing.assert_array_equal(np.asarray(voted), truth)
+    np.testing.assert_allclose(np.asarray(t), 2.3)
+
+    # all channels disqualified -> trust -1 (erasure), never +1
+    trust_bad = np.full((3, 8), -1, np.int8)
+    _, t_bad = vote_n_device(bits, trust_bad)
+    np.testing.assert_allclose(np.asarray(t_bad), -1.0)
