@@ -223,26 +223,36 @@ class Decoder:
     def _find_in_data(self, rawBits, packetIdx, idxCand, score):
         """Length field inside the (possibly whitened) packet.
 
-        A candidate that wants more data than the block holds only
-        pauses the scan when it is the LAST candidate — header-sidelobe
-        false positives decode junk lengths and must not starve a real
-        frame behind them.
+        The overlap buffer is held from the FIRST candidate that still
+        needs more data (so a genuine truncated frame deep inside the
+        block survives to the next call even when junk candidates
+        follow it), while the scan continues past it so complete frames
+        behind a starving sidelobe candidate still decode this block.
+        Frames emitted from inside a held window are remembered by their
+        offset in the held buffer and skipped when they reappear on the
+        next call.
         """
         packets = []
+        emitted_prev = getattr(self, "_inDataEmittedPrev", set())
+        emitted_abs = []
+        held_start = None
 
         def hold(idx):
+            nonlocal held_start
+            if held_start is not None:
+                return  # keep the earliest (largest) held window
             startIdx = max(0, idx - 20)
             if len(rawBits) - startIdx > self.numBitsOverlap:
                 self.bitsOverlapBuf = rawBits[startIdx:]
+                held_start = startIdx
 
-        last = len(packetIdx) - 1
         for i in range(len(packetIdx)):
+            if packetIdx[i] in emitted_prev:
+                continue  # already emitted from the previous held window
             avail = len(rawBits) - packetIdx[i]
             hdr_len = (self.packetEndLenField + self.packetEndLenFieldNumBytes) * 8
             if avail < hdr_len:
-                if i == last:
-                    hold(packetIdx[i])
-                    break
+                hold(packetIdx[i])
                 continue
             lenBits = rawBits[
                 packetIdx[i] + self.packetEndLenField * 8 : packetIdx[i] + hdr_len
@@ -252,12 +262,16 @@ class Decoder:
                 continue
             total = hdr_len + plen_bits
             if avail < total:
-                if i == last:
-                    hold(packetIdx[i])
-                    break
+                hold(packetIdx[i])
                 continue
             bits = rawBits[packetIdx[i] : packetIdx[i] + total]
+            emitted_abs.append(int(packetIdx[i]))
             packets.append(
                 self.Packet(bits, packetIdx[i], self.protocol.numOnesHeader - score[idxCand[i]])
             )
+        if held_start is not None:
+            self._inDataEmittedPrev = {p - held_start for p in emitted_abs
+                                       if p >= held_start}
+        else:
+            self._inDataEmittedPrev = set()
         return packets

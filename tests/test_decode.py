@@ -218,3 +218,73 @@ class TestInDataMode:
         payload = rng.randint(0, 2, 10 * 8).astype(np.int8)
         pkts, _, _ = dec.findFrames(np.r_[payload, np.zeros(200, np.int8)], 0)
         assert len(pkts) >= 1
+
+    def test_holds_first_starving_candidate_not_last(self):
+        """ADVICE r1 medium: a truncated frame at candidate i < last
+        (followed by a junk sidelobe candidate) must be held from ITS
+        start, even when its header sits more than numBitsOverlap bits
+        from the block end — previously only the LAST candidate could
+        trigger the hold and the frame start was discarded."""
+        from pycusdr_tpu.decode.frame_finder import Decoder
+
+        proto = self._protocol()
+        dec = Decoder({}, proto)
+        rng = np.random.RandomState(8)
+        hdr = np.ones(16, np.int8)
+        payload_len = 12
+        len_byte = np.array([int(b) for b in f"{payload_len:08b}"], np.int8)
+        payload = rng.randint(0, 2, payload_len * 8).astype(np.int8)
+        # plant a header-like sidelobe INSIDE the payload: 16 ones
+        # followed by a zero length byte (decodes to 0 -> invalid, so
+        # the candidate is skipped, but it is a LATER candidate than
+        # the real frame's header)
+        payload[24:40] = 1
+        payload[40:48] = 0
+
+        # block ends 96 bits short of the real frame's end
+        block1 = np.r_[np.zeros(100, np.int8), hdr, len_byte, payload[:48]]
+        # the real header sits len(block1)-100 = 72 > numBitsOverlap=64
+        # bits from the block end: without the hold it is unrecoverable
+        assert len(block1) - 100 > proto.numBitsOverlap
+        pkts, _, _ = dec.findFrames(block1, 0)
+        assert len(pkts) == 0
+
+        # continuation supplies the rest: the frame must decode intact
+        pkts, _, _ = dec.findFrames(np.r_[payload[48:], np.zeros(80, np.int8)], 0)
+        total = 16 + 8 + payload_len * 8
+        match = [p for p in pkts if len(p.bits) == total]
+        assert match, (
+            f"truncated frame lost: {[len(p.bits) for p in pkts]}")
+        got = np.asarray(match[0].bits[24:], np.int8)
+        np.testing.assert_array_equal(got, payload)
+
+    def test_complete_frame_behind_starving_candidate_emits_once(self):
+        """A complete frame AFTER a starving candidate must decode in
+        the same block and not be re-emitted when the held window is
+        re-scanned on the next call."""
+        from pycusdr_tpu.decode.frame_finder import Decoder
+
+        proto = self._protocol()
+        dec = Decoder({}, proto)
+        rng = np.random.RandomState(9)
+        hdr = np.ones(16, np.int8)
+
+        # starving candidate: header at the END-ish of useful data with a
+        # length that wants more bits than the block holds
+        starving = np.r_[hdr, np.array([0, 0, 0, 1, 1, 1, 1, 1], np.int8)]
+        # complete frame behind it
+        payload_len = 4
+        len_byte = np.array([int(b) for b in f"{payload_len:08b}"], np.int8)
+        payload = rng.randint(0, 2, payload_len * 8).astype(np.int8)
+        complete = np.r_[hdr, len_byte, payload]
+
+        block1 = np.r_[np.zeros(30, np.int8), starving,
+                       np.zeros(40, np.int8), complete, np.zeros(20, np.int8)]
+        pkts1, _, _ = dec.findFrames(block1, 0)
+        total = 16 + 8 + payload_len * 8
+        assert [len(p.bits) for p in pkts1].count(total) == 1
+
+        # next block: held window re-scanned; the complete frame must
+        # NOT be emitted a second time
+        pkts2, _, _ = dec.findFrames(np.zeros(400, np.int8), 0)
+        assert [len(p.bits) for p in pkts2].count(total) == 0
