@@ -11,6 +11,10 @@ classic amateur-satellite AX.25 UI frames over FSK/GMSK (G3RUH-style):
   address+control+PID+info,
 * line coding: NRZI (0 = transition, 1 = no transition), undone by the
   decoder preprocessor so the frame finder sees logical bits,
+* scrambling: the GMSK (9600-baud) air interface applies the G3RUH
+  x^17+x^12+1 multiplicative scrambler to the NRZI stream (and the Rx
+  preprocessor runs the self-synchronizing descrambler), matching real
+  G3RUH hardware; plain-FSK mode stays unscrambled like 1200-baud TNCs,
 * Rx correlation bank: FSK templates (the matched-filter front end is
   modulation-level and shared with the bench links).
 """
@@ -63,6 +67,36 @@ def bit_destuff(bits: np.ndarray) -> np.ndarray:
         else:
             run = 0
     return np.array(out, dtype=np.uint8)
+
+
+def scramble_g3ruh(bits: np.ndarray) -> np.ndarray:
+    """G3RUH multiplicative scrambler (x^17 + x^12 + 1): the on-air bit
+    is ``d ^ tx[-12] ^ tx[-17]``. Applied to the NRZI-encoded stream —
+    the G3RUH modem sits between the TNC's NRZI output and the radio.
+    Zero initial state; the receiver's descrambler is self-synchronizing
+    so the Tx state never needs to be communicated."""
+    bits = np.asarray(bits, np.uint8)
+    out = np.empty(len(bits), np.uint8)
+    state = 0  # bit i-1 .. i-17 in the low 17 bits
+    for i, d in enumerate(bits):
+        t = int(d) ^ ((state >> 11) & 1) ^ ((state >> 16) & 1)
+        out[i] = t
+        state = ((state << 1) | t) & 0x1FFFF
+    return out
+
+
+def descramble_g3ruh(bits: np.ndarray, hist=None):
+    """Self-synchronizing inverse of :func:`scramble_g3ruh`:
+    ``d[i] = r[i] ^ r[i-12] ^ r[i-17]`` over the RECEIVED stream, so it
+    re-locks within 17 bits of any error or stream start. ``hist`` is
+    the previous block's last 17 raw bits (streaming seam context);
+    returns ``(descrambled, new_hist)``."""
+    bits = np.asarray(bits, np.uint8)
+    if hist is None:
+        hist = np.zeros(17, np.uint8)
+    ext = np.r_[np.asarray(hist, np.uint8), bits]
+    out = ext[17:] ^ ext[17 - 12 : len(ext) - 12] ^ ext[: len(ext) - 17]
+    return out.astype(np.uint8), ext[-17:].copy()
 
 
 def nrzi_encode(bits: np.ndarray, initial: int = 0) -> np.ndarray:
@@ -152,6 +186,11 @@ class AX25(FSK2):
         self.tx_num_flags = int(pconf.get("tx_num_preambles", 16))
         # "FSK" (2FSK) or "GMSK" (G3RUH-style 9600) air interface
         self.modulation = str(pconf.get("ax25_modulation", "FSK")).upper()
+        # the G3RUH 9600-baud standard scrambles the NRZI stream with
+        # x^17+x^12+1; on by default for the GMSK air interface so it
+        # interoperates with real G3RUH modems, off for 1200-style FSK
+        self.scramble = bool(pconf.get("ax25_scramble",
+                                       self.modulation == "GMSK"))
 
     def get_filter(self, Nfft, spsym, maskSize, nCycles=0.5):
         if self.modulation == "GMSK":
@@ -182,16 +221,30 @@ class AX25(FSK2):
         self.numOnesSyncSig = float(np.sum(FLAG))
         return np.flipud(FLAG.astype(np.float64) * 2 - 1)
 
-    def decoderPreprocessor(self, bits, prev_raw_last=None, **kwargs):
-        """Undo the NRZI line coding so the frame finder sees HDLC bits.
+    def decoderPreprocessor(self, bits, prev_raw_last=None, stream_state=None,
+                            **kwargs):
+        """Undo the line coding so the frame finder sees HDLC bits:
+        G3RUH descramble (GMSK mode) then NRZI decode.
 
         ``prev_raw_last`` (streamed in by the frame finder) carries the
         previous block's final raw level so block boundaries decode
-        without an injected error."""
+        without an injected error; the descrambler's 17-bit seam
+        context and the post-descramble NRZI level live in
+        ``stream_state``."""
+        bits = np.asarray(bits)
+        if self.scramble:
+            st = stream_state if stream_state is not None else {}
+            desc, st["g3ruh_hist"] = descramble_g3ruh(bits, st.get("g3ruh_hist"))
+            if not self.nrzi:
+                return desc
+            initial = int(st.get("nrzi_last", 0))
+            if len(desc):
+                st["nrzi_last"] = int(desc[-1])
+            return nrzi_decode(desc, initial=initial)
         if not self.nrzi:
-            return np.asarray(bits)
+            return bits
         initial = 0 if prev_raw_last is None else int(prev_raw_last)
-        return nrzi_decode(np.asarray(bits), initial=initial)
+        return nrzi_decode(bits, initial=initial)
 
     def Packet(self, *args, **kwargs):
         return PacketAX25(self, *args, **kwargs)
@@ -215,6 +268,11 @@ class AX25(FSK2):
 
     def initTxHeader(self, noFlags: int = None):
         n = noFlags if noFlags is not None else self.tx_num_flags
+        if self.scramble:
+            # the receiver's self-synchronizing descrambler garbles the
+            # first 17 on-air bits (~2 flags); spend 3 extra preamble
+            # flags so the configured flag count survives intact
+            n += 3
         return np.tile(FLAG, n), np.array([], dtype=np.uint8)
 
     def initTxTail(self, noFlags: int = 2):

@@ -130,6 +130,10 @@ class AX25Encoder(Encoder):
         bits = np.r_[self.preFlags, stuffed, self.postFlags].astype(np.uint8)
         if getattr(self.protocol, "nrzi", True):
             bits = nrzi_encode(bits)
+        if getattr(self.protocol, "scramble", False):
+            from pycusdr_tpu.protocol.ax25 import scramble_g3ruh
+
+            bits = scramble_g3ruh(bits)
         return bits
 
 

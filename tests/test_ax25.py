@@ -151,3 +151,72 @@ def test_ax25_gmsk_variant_full_loop(bench_conf):
     good = [p.getBinaryData()[0] for p in packets if p.getBinaryData()[1] == 0]
     assert good, "no CRC-clean G3RUH AX.25 packet"
     np.testing.assert_array_equal(good[0], payload)
+
+
+class TestG3RUHScrambler:
+    def test_roundtrip(self):
+        from pycusdr_tpu.protocol.ax25 import descramble_g3ruh, scramble_g3ruh
+
+        rng = np.random.RandomState(2)
+        bits = rng.randint(0, 2, 500).astype(np.uint8)
+        d, _ = descramble_g3ruh(scramble_g3ruh(bits))
+        # descrambler self-synchronizes after 17 bits
+        np.testing.assert_array_equal(d[17:], bits[17:])
+
+    def test_streaming_seam_context(self):
+        """Block-split descrambling with carried 17-bit history must be
+        identical to one-shot descrambling."""
+        from pycusdr_tpu.protocol.ax25 import descramble_g3ruh, scramble_g3ruh
+
+        rng = np.random.RandomState(3)
+        bits = rng.randint(0, 2, 400).astype(np.uint8)
+        tx = scramble_g3ruh(bits)
+        whole, _ = descramble_g3ruh(tx)
+        hist = None
+        parts = []
+        for chunk in np.array_split(tx, 7):
+            d, hist = descramble_g3ruh(chunk, hist)
+            parts.append(d)
+        np.testing.assert_array_equal(np.concatenate(parts), whole)
+
+    def test_self_synchronizing_after_error(self):
+        from pycusdr_tpu.protocol.ax25 import descramble_g3ruh, scramble_g3ruh
+
+        rng = np.random.RandomState(4)
+        bits = rng.randint(0, 2, 300).astype(np.uint8)
+        tx = scramble_g3ruh(bits)
+        tx[100] ^= 1  # one channel bit error
+        d, _ = descramble_g3ruh(tx)
+        clean, _ = descramble_g3ruh(scramble_g3ruh(bits))
+        # an error affects exactly the taps at +0, +12, +17
+        diff = np.where(d != clean)[0]
+        assert set(diff.tolist()) == {100, 112, 117}
+        np.testing.assert_array_equal(d[118:], bits[118:])
+
+    def test_gmsk_mode_scrambles_tx(self):
+        """The GMSK AX.25 Tx stream must be G3RUH-scrambled (interop
+        with real 9600-baud modems), and the Rx preprocessor must undo
+        it across block seams."""
+        from pycusdr_tpu.protocol import loadProtocol
+        from pycusdr_tpu.protocol.ax25 import FLAG, nrzi_encode
+        from pycusdr_tpu.tx.encoders import AX25Encoder
+
+        conf = {"Radios": {"Protocol": {"ax25_modulation": "GMSK"}}}
+        proto = loadProtocol("AX25")(conf=conf)
+        assert proto.scramble
+        enc = AX25Encoder(proto, {})
+        onair = enc.encodeAndFrame(np.frombuffer(b"HELLO G3RUH", np.uint8))
+        # scrambled: the plain NRZI flag run must NOT appear verbatim
+        plain_flags = nrzi_encode(np.tile(FLAG, 4))
+        as_str = "".join(map(str, onair[: 16 * 8]))
+        assert "".join(map(str, plain_flags)) not in as_str
+
+        # streamed preprocessor (as the frame finder drives it)
+        state = {}
+        parts = []
+        for chunk in np.array_split(onair, 5):
+            parts.append(proto.decoderPreprocessor(chunk, stream_state=state))
+        rx = np.concatenate(parts)
+        # after descramble+NRZI-decode the flags are back
+        s = "".join(map(str, rx.astype(int)))
+        assert "".join(map(str, np.tile(FLAG, 4))) in s
