@@ -1,0 +1,313 @@
+"""Per-stage device-time profile of the flagship block graph + MFU.
+
+Publishes the accounting VERDICT r1 asked for: where the ~0.65 ms/block
+(B=64) actually goes, stage by stage, plus FLOPs/block and the MFU /
+roofline position of the whole graph.
+
+Measurement honesty (same discipline as ``bench.py``): on this
+tunnelled backend ``jax.block_until_ready`` returns before execution
+completes, so every number here comes from T scan-chained iterations
+inside ONE jitted computation whose carry feeds each iteration's input
+(no hoisting/CSE possible) followed by a host fetch of the final
+scalar. Reported per-iteration time therefore includes the backend's
+fixed per-scan-step overhead; an empty-body scan is measured alongside
+to expose that floor explicitly.
+
+FLOP accounting: the four-step matmul FFT costs ~16*N*sqrt(N) real
+FLOPs (two 4-real-matmul complex DFT stages + twiddles) — deliberately
+counted as the FLOPs the chip EXECUTES, not the 5*N*log2(N) a
+Cooley-Tukey FFT would need, so MFU reflects real MXU utilization.
+The matmul roof is measured in-session with the same scan-chain method
+(4096^3 f32 and bf16 chained matmuls) rather than quoting datasheet
+peaks through a shared tunnel.
+
+Run on the chip:  python -m pycusdr_tpu.bench.profile_stages
+Options: --batches 1 64   --T 10   --out results/profile_stages.json
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _measure(make_bench, repeats=3):
+    """Compile, warm, then best-of-N timed host fetches."""
+    bench = make_bench()
+    float(bench())  # compile + warm
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(bench())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def stage_seconds(fn, args, B, T=10, repeats=3):
+    """Seconds per vmapped iteration of ``fn(*args)`` (B lanes, T chained).
+
+    ``args``: numpy arrays WITHOUT the batch dim. Float inputs get the
+    carry perturbation so the scan body cannot be hoisted; int inputs
+    pass through untouched. ``fn`` must return a f32 scalar that
+    consumes every output it produces (DCE defence).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+
+    def tile(a):
+        a = np.asarray(a)
+        if np.issubdtype(a.dtype, np.floating):
+            noise = rng.randn(B, *a.shape).astype(a.dtype) * (np.abs(a).mean() + 1e-3) * 0.01
+            return np.broadcast_to(a, (B,) + a.shape) + noise
+        return np.broadcast_to(a, (B,) + a.shape).copy()
+
+    bat = [jax.device_put(tile(a)) for a in args]
+    vf = jax.vmap(fn)
+
+    @jax.jit
+    def bench_fn(*bat):
+        def body(c, _):
+            eps = c * jnp.float32(1e-30)
+            pert = [b + eps if jnp.issubdtype(b.dtype, jnp.floating) else b
+                    for b in bat]
+            out = vf(*pert)
+            return c + out.sum() * jnp.float32(1e-30), None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=T)
+        return c
+
+    dt = _measure(lambda: (lambda: bench_fn(*bat)), repeats)
+    return dt / T
+
+
+def matmul_roof(dtype, n=4096, T=20, repeats=3):
+    """Measured chained-matmul TFLOPS on this chip (scan + fetch)."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jax.device_put(np.random.RandomState(0).randn(n, n).astype(dtype))
+
+    @jax.jit
+    def bench_fn(a):
+        def body(c, _):
+            c = jnp.dot(c, a, preferred_element_type=c.dtype) * jnp.asarray(1e-2, c.dtype)
+            return c, None
+
+        c, _ = jax.lax.scan(body, a, None, length=T)
+        return jnp.float32(c[0, 0])
+
+    dt = _measure(lambda: (lambda: bench_fn(a)), repeats)
+    return 2.0 * n**3 * T / dt / 1e12
+
+
+def scan_floor(T=10, repeats=3):
+    """Per-iteration cost of an empty scan body (backend fixed overhead)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def bench_fn(x):
+        def body(c, _):
+            return c * jnp.float32(1.0000001) + x, None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=T)
+        return c
+
+    dt = _measure(lambda: (lambda: bench_fn(jnp.float32(1.0))), repeats)
+    return dt / T
+
+
+def dispatch_rtt(repeats=5):
+    """Single tiny dispatch + host fetch round trip (tunnel latency)."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x * 2.0)
+    x = jax.device_put(jnp.float32(1.0))
+    float(f(x))
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(f(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+# ---------------------------------------------------------------------------
+
+
+def fourstep_flops(N):
+    """Real FLOPs the four-step matmul FFT executes for a size-N complex
+    transform: two complex DFT matmul stages (4 real matmuls of
+    sqrt(N) x sqrt(N) x sqrt(N) each => 8*N*sqrt(N) per stage) plus the
+    twiddle pointwise (6N)."""
+    return 16.0 * N * np.sqrt(N) + 6.0 * N
+
+
+def stage_flops(spec):
+    """FLOPs per block per stage (executed-FLOPs accounting, see module
+    docstring); elementwise stages counted at ~1 FLOP per scalar op."""
+    N, M, D = spec.Nfft, spec.num_masks, spec.D
+    W = spec.windowWidth
+    f = {}
+    f["fft_fwd"] = fourstep_flops(N) + 3 * N  # + |S|^2
+    # corr route: FFT(P) + M pointwise cmul + M inverse FFTs + gather
+    f["dopp_energy"] = (1 + M) * fourstep_flops(N) + 6 * M * N
+    f["dopp_est"] = 4.0 * D * M
+    # shift + M cmul + M fused-power inverse FFTs
+    f["mask_bank"] = 6 * M * N + M * (fourstep_flops(N) + 3 * N)
+    # mask-sum + packed rfft (N/2 complex) + band metric
+    f["timing"] = M * N + fourstep_flops(N // 2) + 8 * N
+    # log-shift max/argmax tree over (M, N) + slot selection
+    f["centres"] = 3.0 * M * N * np.ceil(np.log2(max(W, 2))) + 6 * N
+    f["bits"] = 2.0 * spec.numSymMax * max(M, 2)
+    f["full"] = sum(v for k, v in f.items())
+    return f
+
+
+def build_stage_fns(spec):
+    """Stage closures mirroring dsp/block.py's flow, each returning a
+    DCE-proof f32 scalar. Returns (stages, sample_inputs)."""
+    import jax.numpy as jnp
+
+    from pycusdr_tpu.dsp.block import CORR_ROUTE_MIN_D, build_process_block
+    from pycusdr_tpu.ops.cfft import c2ri, fft_ri
+    from pycusdr_tpu.ops.demod_kernels import (
+        apply_best_doppler_power,
+        find_centres,
+        find_code_rate_and_phase,
+    )
+    from pycusdr_tpu.ops.doppler_search import (
+        doppler_energy_corr,
+        find_doppler_estimate,
+        make_qf_ri,
+    )
+
+    N, M, D = spec.Nfft, spec.num_masks, spec.D
+    assert D >= CORR_ROUTE_MIN_D, "profile assumes the corr doppler route"
+    qf_ri = jnp.asarray(make_qf_ri(spec.masks_f))
+    masks_ri = jnp.asarray(c2ri(spec.masks_f))
+    dopp_shifts = jnp.asarray(spec.dopp_shifts.astype(np.int32))
+
+    rng = np.random.RandomState(7)
+    sig = c2ri((rng.randn(N) + 1j * rng.randn(N)).astype(np.complex64))
+    S = np.asarray(fft_ri(jnp.asarray(sig)))
+    P = S[0] ** 2 + S[1] ** 2
+    P2 = rng.rand(M, N).astype(np.float32)
+    E0 = rng.rand(D, M).astype(np.float32)
+    spSym = np.float32(spec.spsym)
+    codeOffset = np.float32(0.37)
+
+    def s_fft(sig):
+        S = fft_ri(sig)
+        return (S[0] ** 2 + S[1] ** 2).sum()
+
+    def s_dopp(P):
+        E = doppler_energy_corr(P, qf_ri, dopp_shifts, jnp.int32(0))
+        return E.sum()
+
+    def s_est(E):
+        di, q = find_doppler_estimate(E, spec.num_dopplers,
+                                      spec.dopp_array_offset, spec.sum_all_masks)
+        return di + q
+
+    def s_bank(S):
+        P2 = apply_best_doppler_power(S, masks_ri, jnp.int32(17))
+        return P2.sum()
+
+    def s_timing(P2):
+        sp, co, cv = find_code_rate_and_phase(
+            P2, spec.code_idx_lo, spec.code_idx_hi, N, spec.code_search_mask_offset)
+        return sp + co + cv
+
+    def s_centres(P2, spSym, codeOffset):
+        symbols, centres, mags, nSym, spc = find_centres(
+            P2, spSym, codeOffset, Nfft=N, windowWidth=spec.windowWidth,
+            spsymMin=spec.spsymMin, numSymMax=spec.numSymMax)
+        return (symbols.sum() + centres.sum()).astype(jnp.float32) + mags.sum() \
+            + nSym.astype(jnp.float32) + spc
+
+    core = build_process_block(spec, jit=False)
+
+    def s_full(sig):
+        r = core(sig)
+        return (r["bits"].sum() + r["trust"].sum() + r["centres"].sum()
+                ).astype(jnp.float32) + r["spSym"] + r["doppler_hz"] + r["mags"].sum()
+
+    stages = {
+        "fft_fwd": (s_fft, [sig]),
+        "dopp_energy": (s_dopp, [P]),
+        "dopp_est": (s_est, [E0]),
+        "mask_bank": (s_bank, [S]),
+        "timing": (s_timing, [P2]),
+        "centres": (s_centres, [P2, spSym, codeOffset]),
+        "full": (s_full, [sig]),
+    }
+    return stages
+
+
+def run_profile(batches=(1, 64), T=10, spec=None):
+    import jax
+
+    if spec is None:
+        from __graft_entry__ import flagship_spec
+
+        spec = flagship_spec()
+
+    flops = stage_flops(spec)
+    stages = build_stage_fns(spec)
+    eff = spec.Nfft - spec.sigOverlap
+
+    result = {
+        "device": str(jax.devices()[0]),
+        "spec": {"Nfft": spec.Nfft, "D": spec.D, "M": spec.num_masks,
+                 "windowWidth": spec.windowWidth, "numSymMax": spec.numSymMax},
+        "scan_floor_ms": round(scan_floor(T) * 1e3, 4),
+        "dispatch_rtt_ms": round(dispatch_rtt() * 1e3, 4),
+        "matmul_roof_tflops": {
+            "f32": round(matmul_roof(np.float32), 2),
+            "bf16": round(matmul_roof("bfloat16"), 2),
+        },
+        "batches": {},
+    }
+
+    for B in batches:
+        # small batches amortize the tunnel's ~30 ms per-fetch RTT over
+        # a longer chain (RTT is latency, not throughput; see bench.py)
+        T_b = max(T, 200 // B)
+        rows = {}
+        for name, (fn, args) in stages.items():
+            sec = stage_seconds(fn, args, B, T=T_b)
+            per_block_us = sec / B * 1e6
+            rows[name] = {
+                "us_per_block": round(per_block_us, 1),
+                "gflops_per_block": round(flops.get(name, 0.0) / 1e9, 3),
+                "tflops": round(flops.get(name, 0.0) / (per_block_us * 1e-6) / 1e12, 3),
+            }
+        full_us = rows["full"]["us_per_block"]
+        rows["full"]["msps"] = round(eff / full_us, 1)
+        rows["full"]["mfu_vs_measured_f32_roof"] = round(
+            rows["full"]["tflops"] / result["matmul_roof_tflops"]["f32"], 3)
+        result["batches"][f"B{B}"] = rows
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, nargs="+", default=[1, 64])
+    ap.add_argument("--T", type=int, default=10)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    res = run_profile(tuple(args.batches), args.T)
+    print(json.dumps(res, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(res, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -244,8 +244,12 @@ def find_centres(X: np.ndarray, spec: DemodSpec, spSym: float, codeOffset: float
         # first/last slots fall inside the healing overlap margin)
         A = min(max(A0, 0), max(N - W, 0))
         win = P2[:, A : A + W]  # (M, W)
-        flat = int(np.argmax(win))  # row-major: mask-major like the CUDA loop
-        m, k = flat // W, flat % W
+        # (offset, mask)-lexicographic first-win, matching the TPU
+        # kernel's column-max-first formulation (the CUDA loop is
+        # (mask, offset)-major, cuda_kernels.cu:126-139 — the orders
+        # differ only on exact float ties between different pairs)
+        flat = int(np.argmax(win.T))
+        k, m = flat // M, flat % M
         symbols[x] = m
         centres[x] = int(x * spc - Wl + k) + comp
         mags[x] = win[m, k]

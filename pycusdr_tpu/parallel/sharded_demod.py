@@ -46,13 +46,14 @@ def _local_find_centres(P2_local, spSym, codeOffset, *, Nfft, windowWidth, spsym
                         numSymMax):
     """Shard-local half of the windowed symbol argmax.
 
-    Same index math as ``ops.demod_kernels.find_centres`` (parity:
+    Same index math and column-max-first formulation as
+    ``ops.demod_kernels.find_centres`` (parity:
     ``cuda_kernels.cu:78-146``; clamped full-window edge semantics, the
-    gather-free ``sliding_window_argmax`` tree) but only over the local
-    mask rows; returns (local max value, local flat argmax
-    ``m_local*W + k``, geometry) so the global argmax can be reduced
-    across the ``dopp`` axis with the same mask-major first-max
-    tie-break as the CUDA kernel.
+    gather-free ``sliding_window_argmax`` tree, (offset, mask)
+    lexicographic tie-break) but only over the local mask rows; returns
+    (local max value, local (k_win, m_local) pair, geometry) so the
+    global argmax can be reduced across the ``dopp`` axis with the same
+    (offset, mask) first-win order as the single-chip kernel.
     """
     from pycusdr_tpu.ops.demod_kernels import sliding_window_argmax
 
@@ -67,18 +68,20 @@ def _local_find_centres(P2_local, spSym, codeOffset, *, Nfft, windowWidth, spsym
     comp = jnp.trunc(codeOffset).astype(jnp.int32) - jnp.minimum(A0, 0)
     A = jnp.clip(A0, 0, max(N - W, 0))
 
-    V, I = sliding_window_argmax(P2_local, W)
+    m_l = jnp.argmax(P2_local, axis=0).astype(jnp.int32)  # lowest local mask
+    Vcol = jnp.max(P2_local, axis=0)
+    Vt, It, Mt = sliding_window_argmax(Vcol[None, :], W, (m_l,))
 
-    Rv = jnp.take(V, A, axis=1)  # (Ml, numSymMax)
-    Ri = jnp.take(I, A, axis=1)
-    m_l = jnp.argmax(Rv, axis=0).astype(jnp.int32)
-    val = jnp.max(Rv, axis=0)
-    j_win = jnp.take_along_axis(Ri, m_l[None, :], axis=0)[0]
-    k_win = (j_win - A).astype(jnp.int32)
+    packed = jnp.stack(
+        [Vt[0], It[0].astype(jnp.float32), Mt[0].astype(jnp.float32)], axis=1
+    )  # (N+W, 3)
+    R = jnp.take(packed, A, axis=0)  # (numSymMax, 3)
+    val = R[:, 0]
+    k_win = (R[:, 1].astype(jnp.int32) - A).astype(jnp.int32)
+    m_sel = R[:, 2].astype(jnp.int32)
 
-    arg = m_l * W + k_win
     nSym = (Nfft / spc).astype(jnp.int32)
-    return val, arg.astype(jnp.int32), x, spc, comp, nSym
+    return val, k_win, m_sel, x, spc, comp, nSym
 
 
 def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
@@ -198,23 +201,25 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
         codeOffset = -phase / jnp.pi * spSym / 2
         codeOffset = jnp.where(codeOffset < 0, codeOffset + spSym - 1, codeOffset)
 
-        val_l, arg_l, x, spc, comp, nSym = jax.vmap(
+        val_l, k_l, m_l, x, spc, comp, nSym = jax.vmap(
             lambda p2, ss, co: _local_find_centres(
                 p2, ss, co, Nfft=N, windowWidth=W,
                 spsymMin=spec.spsymMin, numSymMax=numSymMax,
             )
         )(P2, spSym, codeOffset)
 
-        # global mask-major argmax across the dopp shards
+        # global (offset, mask)-lexicographic argmax across the dopp
+        # shards, matching ops.demod_kernels.find_centres: flat key
+        # k*M + global_mask, min over equal-valued candidates
         d_id = jax.lax.axis_index("dopp")
-        g_idx = d_id * (Ml * W) + arg_l  # (Cl, numSymMax) global flat index
+        g_idx = k_l * M + (d_id * Ml + m_l)  # (Cl, numSymMax)
         vals = jax.lax.all_gather(val_l, "dopp", axis=0, tiled=False)  # (nd, Cl, nSymMax)
         gidx = jax.lax.all_gather(g_idx, "dopp", axis=0, tiled=False)
         best_val = jnp.max(vals, axis=0)
-        big = jnp.int32(M * W + 1)
+        big = jnp.int32(M * W + M + 1)
         g = jnp.min(jnp.where(vals == best_val, gidx, big), axis=0)
-        symbols = (g // W).astype(jnp.int32)
-        maxK = (g % W).astype(jnp.int32)
+        symbols = (g % M).astype(jnp.int32)
+        maxK = (g // M).astype(jnp.int32)
         centres = (
             jnp.trunc(x * spc[:, None] - (W // 2) + maxK.astype(jnp.float32)).astype(jnp.int32)
             + comp
