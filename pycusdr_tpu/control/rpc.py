@@ -1,13 +1,61 @@
 """XML-RPC management/monitoring server.
 
 Capability parity with the reference ``RpcInterface``
-(``pyCuSDR/rpcInterface.py``): a daemon thread serving ~40 get/set
-methods over SimpleXMLRPCServer — Tx/Rx rangerate, frequencies, IF
+(``pyCuSDR/rpcInterface.py``): a daemon thread serving the full get/set
+surface over SimpleXMLRPCServer — Tx/Rx rangerate, frequencies, IF
 offsets, SNR, baud rates, gains and sample rates (the radio-hardware
-ones proxied to GNU Radio's own XML-RPC server), GRC service
-start/kill forwarding, and the softCombiner active-worker query.
-Higher-level ops software (pass schedulers, gpredict glue) drives the
-modem through this surface.
+ones proxied to GNU Radio's own XML-RPC server), the STX S-band
+surface, GRC service start/kill forwarding, and the softCombiner
+active-worker query. Higher-level ops software (pass schedulers,
+gpredict glue) drives the modem through this surface.
+
+Method parity audit vs ``rpcInterface.py:106-431`` (all 48 reference
+registrations + start/kill):
+
+====================  =====================================================
+registered here       notes
+====================  =====================================================
+start / kill          GRC service control forwarding (:484-503)
+get_config            (:108-111)
+get/set_Tx_rangerate  (:113-125)
+get/set_Tx_samp_rate  GRC proxy (:128-142)
+get/set_STX_Tx_samp_rate  GRC proxy (:133-147)
+get/set_Tx_freq       set raises NotImplementedError like ref (:152-177)
+get_STX_Tx_freq       GRC proxy w/ modulator fallback (:165-175)
+get/set_Tx_freq_offset    (:183-196)
+get_Tx_GRC_freq_offset    (:198-201)
+get_Tx_total_freq_offset  (:203-206)
+get/set_Tx_gain       GRC proxy (:203-216 region)
+get/set_STX_Tx_gain   GRC proxy (:208-221)
+get_Tx_baud_rate      (:223-226)
+get/set_Tx_num_sync_flags  (:228-236; the reference registers these but
+                      its modulator plumbing is commented out,
+                      modulator_process.py:143 — here the setter really
+                      reframes via Modulator.numSyncFlags)
+get/set_Rx_rangerate  set raises NotImplementedError like ref (:244-253)
+get/set_Rx_baud_rate  get via GRC; set proxies GRC (:256-263)
+get_Rx_baud_rate_est  (:266-269)
+get/set_Rx_samp_rate  GRC proxy with FS_TOL verification (:272-287)
+get/set_Rx_freq       GRC proxy with FC_TOL verification (:291-313)
+get_Rx_GRC_freq_offset    (:316-319)
+get_Rx_freq_offset    (:321-324)
+get/set_Rx_IF_freq_offset_est  set raises NotImplementedError (:327-335)
+get/set_Tx_IF_freq_offset_est  set raises NotImplementedError (:337-343)
+get_Rx_SNR            (:345-347)
+get/set_Rx_gain       GRC proxy (:349-357)
+get_Rx_antenna_name   (:360-363)
+get/set_STX_gain      GRC proxy (:367-375)
+get/set_STX_freq      GRC proxy with FC_TOL verification (:377-395)
+get/set_STX_samp_rate GRC proxy with FS_TOL verification (:398-412)
+get_STX_baud_rate     GRC proxy (:415-418)
+get_active_workers    softCombiner query (:423-430)
+====================  =====================================================
+
+Deliberate deviations (none silent): the reference *returns* exception
+instances from the three not-implemented setters (XML-RPC cannot
+marshal them, so clients saw a marshalling Fault); here they ``raise``
+NotImplementedError directly, which reaches clients as a clean Fault
+with the message intact.
 """
 
 import logging
@@ -89,6 +137,7 @@ class RpcInterface(threading.Thread):
         server.register_function(self.start_GRC, "start")
         self._registerTxMethods(server)
         self._registerRxMethods(server)
+        self._registerSTXMethods(server)
         self._registerSoftCombinerMethods(server)
 
         self.start()
@@ -121,6 +170,33 @@ class RpcInterface(threading.Thread):
         @server.register_function
         def set_Tx_samp_rate(Fs):
             self._set_GRC("set_tx_samp_rate", Fs)
+
+        @server.register_function
+        def get_STX_Tx_samp_rate():
+            return self._get_GRC("get_STX_Tx_sample_rate")
+
+        @server.register_function
+        def set_STX_Tx_samp_rate(Fs):
+            self._set_GRC("set_STX_Tx_sample_rate", Fs)
+
+        @server.register_function
+        def get_STX_Tx_freq():
+            try:
+                return self._get_GRC("get_STX_Tx_Freq")
+            except Exception:
+                log.warning("Could not read GRC STX Tx frequency")
+                for name, m in self.modulator.items():
+                    if "STX" in name:
+                        return m.Fc
+                return 0
+
+        @server.register_function
+        def get_STX_Tx_gain():
+            return self._get_GRC("get_STX_Tx_Gain")
+
+        @server.register_function
+        def set_STX_Tx_gain(gain):
+            self._set_GRC("set_STX_Tx_Gain", gain)
 
         @server.register_function
         def get_Tx_freq():
@@ -165,6 +241,15 @@ class RpcInterface(threading.Thread):
         def get_Tx_baud_rate(name="UHF"):
             return self.modulator[name].baudRate
 
+        @server.register_function
+        def get_Tx_num_sync_flags(name="UHF"):
+            """Preamble-flag repetition count currently framing Tx."""
+            return self.modulator[name].numSyncFlags
+
+        @server.register_function
+        def set_Tx_num_sync_flags(val, name="UHF"):
+            self.modulator[name].numSyncFlags = int(val)
+
     # ---------------- Rx surface ----------------
 
     def _registerRxMethods(self, server):
@@ -179,6 +264,11 @@ class RpcInterface(threading.Thread):
         @server.register_function
         def get_Rx_baud_rate(antenna=0):
             return self._get_GRC("get_baudRate")
+
+        @server.register_function
+        def set_Rx_baud_rate(baud, antenna=0):
+            """Baud rate is provided by GRC (rpcInterface.py:261-263)."""
+            self.GRCRpc.set_baud_rate(baud)
 
         @server.register_function
         def get_Rx_baud_rate_est(antenna=0):
@@ -232,8 +322,18 @@ class RpcInterface(threading.Thread):
             return self.demodulator[antenna].RxIFFreqOffset
 
         @server.register_function
+        def set_Rx_IF_freq_offset_est(val, antenna=0):
+            """An estimate computed in the modem; cannot be set."""
+            raise NotImplementedError("Setting Rx frequency offset is not implemented")
+
+        @server.register_function
         def get_Tx_IF_freq_offset_est(antenna=0):
             return self.demodulator[antenna].TxIFFreqOffset
+
+        @server.register_function
+        def set_Tx_IF_freq_offset_est(val):
+            """An estimate computed in the modem; cannot be set."""
+            raise NotImplementedError("Setting Tx frequency offset is not implemented")
 
         @server.register_function
         def get_Rx_SNR(antenna=0):
@@ -250,6 +350,55 @@ class RpcInterface(threading.Thread):
         @server.register_function
         def get_Rx_antenna_name(antenna=0):
             return self.demodulator[antenna].workerId
+
+    # ---------------- STX (S-band) surface ----------------
+
+    def _registerSTXMethods(self, server):
+        """S-band receiver knobs, all proxied to the GNU Radio flowgraph
+        (reference rpcInterface.py:365-418)."""
+
+        @server.register_function
+        def get_STX_gain():
+            return self._get_GRC("get_STXGain")
+
+        @server.register_function
+        def set_STX_gain(val):
+            self._set_GRC("set_STXGain", val)
+
+        @server.register_function
+        def get_STX_freq():
+            return self._get_GRC("get_STX_freq")
+
+        @server.register_function
+        def set_STX_freq(Fc):
+            log.info("Setting STX frequency to %s Hz", Fc)
+            try:
+                self.GRCRpc.set_STX_freq(Fc)
+            except Fault as e:
+                freq = self._get_GRC("get_STX_freq")
+                if abs(freq - Fc) > FC_TOL:
+                    raise Exception(
+                        f"STX centre frequency reading {freq} Hz, desired {Fc} Hz"
+                    ) from e
+
+        @server.register_function
+        def get_STX_samp_rate():
+            return self._get_GRC("get_STX_sample_rate")
+
+        @server.register_function
+        def set_STX_samp_rate(Fs):
+            try:
+                self.GRCRpc.set_STX_sample_rate(Fs)
+            except Fault as e:
+                Fs_read = self._get_GRC("get_STX_sample_rate")
+                if abs(Fs - Fs_read) > FS_TOL:
+                    raise Exception(
+                        f"STX sample rate off: reading {Fs_read} Hz, desired {Fs} Hz"
+                    ) from e
+
+        @server.register_function
+        def get_STX_baud_rate():
+            return self._get_GRC("get_STXbaudRate")
 
     def _registerSoftCombinerMethods(self, server):
         @server.register_function
@@ -331,6 +480,7 @@ class dummyModulator:
         self.freqOffset = 0
         self.totalFreqOffset = 0
         self.baudRate = 9600
+        self.numSyncFlags = 2
 
     @property
     def Fs(self):

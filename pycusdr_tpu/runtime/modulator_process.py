@@ -51,6 +51,7 @@ class Modulator_process(Process):
         self.__centreFreqOffset = Value("d", self.confRadio.get("centreFrequencyOffset", 0.0))
         self.__freqOffset = Value("d", self.confRadio["frequencyOffset_Hz"])
         self.__totalFreqOffset = Value("f", 0)
+        self.__numSyncFlags = Value("i", -1)  # -1 = protocol default
 
         self.daemon = True
         self.runStatus = Event()
@@ -111,6 +112,8 @@ class Modulator_process(Process):
                     rr = self.__rangerate.value
                     modul.set_rangerate(rr)
                 modul.TxCentreFreqOffset = self.__centreFreqOffset.value
+                if self.__numSyncFlags.value > 0:
+                    modul.numSyncFlags = self.__numSyncFlags.value
 
                 if evts:
                     if byteDataIn_ZMQ in evts:
@@ -198,6 +201,17 @@ class Modulator_process(Process):
     @property
     def totalFreqOffset(self):
         return self.__totalFreqOffset.value
+
+    @property
+    def numSyncFlags(self):
+        n = self.__numSyncFlags.value
+        return n if n > 0 else self.conf.get("Radios", {}).get(
+            "Protocol", {}).get("tx_num_preambles", -1)
+
+    @numSyncFlags.setter
+    def numSyncFlags(self, n):
+        with self.__numSyncFlags.get_lock():
+            self.__numSyncFlags.value = int(n)
 
     @property
     def doppler(self):

@@ -46,6 +46,8 @@ class Modulator:
             NOISE_VAR * (rng.randn(SIG_MIN_LENGTH) + 1j * rng.randn(SIG_MIN_LENGTH))
         ).astype(np.complex64)
         self._rangerate = 0.0
+        self._numSyncFlags = int(getattr(protocol, "tx_num_preambles",
+                                 getattr(protocol, "tx_num_flags", 0)) or 0)
 
     # ---------------- main entry points ----------------
 
@@ -80,6 +82,37 @@ class Modulator:
         return txSig.astype(MODULATORDTYPE)
 
     # ---------------- RPC-facing setters/getters ----------------
+
+    @property
+    def numSyncFlags(self):
+        """Preamble-flag repetition count (RPC surface,
+        rpcInterface.py:228-236; the reference registers the methods but
+        left the modulator plumbing commented out,
+        modulator_process.py:143 — here it actually reframes)."""
+        return self._numSyncFlags
+
+    @numSyncFlags.setter
+    def numSyncFlags(self, n):
+        n = int(n)
+        if n <= 0 or n == getattr(self, "_numSyncFlags", None):
+            return
+        self._numSyncFlags = n
+        # the repetition count lives on the protocol; re-derive the
+        # encoder's cached preamble bits from it
+        if hasattr(self.protocol, "tx_num_preambles"):
+            self.protocol.tx_num_preambles = n
+        if hasattr(self.protocol, "tx_num_flags"):
+            self.protocol.tx_num_flags = n
+        try:
+            flags, hdr = self.protocol.initTxHeader()
+        except Exception:
+            log.warning("protocol %s cannot re-derive Tx flags", self.protocol.name)
+            return
+        enc = self.encoder
+        if hasattr(enc, "preFlags"):
+            enc.preFlags = flags
+        elif hasattr(enc, "Flags"):
+            enc.Flags, enc.Header = flags, hdr
 
     def get_rangerate(self):
         return self._rangerate

@@ -147,6 +147,51 @@ def test_orchestrator_end_to_end(modem_conf):
         snr = rpc.get_Rx_SNR(0)
         assert isinstance(snr, float)
         rpc.set_Tx_rangerate(1234.5)
+
+        # full reference method-surface parity (rpcInterface.py:106-431
+        # registers 48 methods + start/kill; see control/rpc.py audit)
+        methods = set(rpc.system.listMethods())
+        expected = {
+            "get_config", "get_Tx_rangerate", "set_Tx_rangerate",
+            "get_Tx_samp_rate", "set_Tx_samp_rate",
+            "get_STX_Tx_samp_rate", "set_STX_Tx_samp_rate",
+            "get_Tx_freq", "set_Tx_freq", "get_STX_Tx_freq",
+            "get_Tx_freq_offset", "set_Tx_freq_offset",
+            "get_Tx_GRC_freq_offset", "get_Tx_total_freq_offset",
+            "get_Tx_gain", "set_Tx_gain",
+            "get_STX_Tx_gain", "set_STX_Tx_gain",
+            "get_Tx_baud_rate",
+            "get_Tx_num_sync_flags", "set_Tx_num_sync_flags",
+            "get_Rx_rangerate", "set_Rx_rangerate",
+            "get_Rx_baud_rate", "set_Rx_baud_rate", "get_Rx_baud_rate_est",
+            "get_Rx_samp_rate", "set_Rx_samp_rate",
+            "get_Rx_freq", "set_Rx_freq",
+            "get_Rx_GRC_freq_offset", "get_Rx_freq_offset",
+            "get_Rx_IF_freq_offset_est", "set_Rx_IF_freq_offset_est",
+            "get_Tx_IF_freq_offset_est", "set_Tx_IF_freq_offset_est",
+            "get_Rx_SNR", "get_Rx_gain", "set_Rx_gain",
+            "get_Rx_antenna_name",
+            "get_STX_gain", "set_STX_gain", "get_STX_freq", "set_STX_freq",
+            "get_STX_samp_rate", "set_STX_samp_rate", "get_STX_baud_rate",
+            "get_active_workers", "start", "kill",
+        }
+        missing = expected - methods
+        assert not missing, f"RPC surface regression, missing: {sorted(missing)}"
+
+        # num_sync_flags round-trips through the modulator process
+        rpc.set_Tx_num_sync_flags(9, "UHF")
+        deadline2 = time.time() + 5
+        while time.time() < deadline2 and rpc.get_Tx_num_sync_flags("UHF") != 9:
+            time.sleep(0.1)
+        assert rpc.get_Tx_num_sync_flags("UHF") == 9
+
+        # a not-implemented setter faults cleanly instead of marshalling
+        # an exception instance (documented deviation, control/rpc.py)
+        try:
+            rpc.set_Rx_IF_freq_offset_est(1.0, 0)
+            assert False, "expected Fault"
+        except xmlrpc.client.Fault as e:
+            assert "not implemented" in str(e).lower()
     finally:
         try:
             sdr.terminate()
