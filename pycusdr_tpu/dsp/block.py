@@ -91,9 +91,12 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False)
                                         jnp.asarray(dopp_shifts), centre_shift)
             else:
                 # narrow grids: rotate the spectrum by the tracking
-                # centre so the static gather probes (k + s_d + centre)
-                rot = (jnp.arange(N, dtype=jnp.int32) + centre_shift) % N
-                Pc = jnp.take(P, rot, axis=0)
+                # centre so the static gather probes (k + s_d + centre);
+                # doubled-array dynamic slice, not a traced-index gather
+                # (see ops.demod_kernels._roll_spectrum)
+                Pc = jax.lax.dynamic_slice_in_dim(
+                    jnp.concatenate([P, P]), jnp.mod(centre_shift, N), N
+                )
                 E = doppler_energy_matmul(Pc, Q_T, shift_idx)
             dopp_idx, quality_db = find_doppler_estimate(
                 E, spec.num_dopplers, spec.dopp_array_offset, spec.sum_all_masks
