@@ -116,12 +116,20 @@ def find_doppler_est(E: np.ndarray, spec: DemodSpec):
         i0 += off
         i1 += off
         wsum = i0 * v0 + i1 * v1
-        dopp_idx = wsum / (v0 + v1)
+        # all-zero energy (idle channel / zero padding) degrades to
+        # index 0 and -inf quality, matching the jax path's guards
+        # (ops/doppler_search.py:173-181) and the reference's host-side
+        # ValueError fallback (demodulator_base.py:625-630)
+        denom = v0 + v1
+        if denom <= 0:
+            return 0.0, -np.inf
+        dopp_idx = wsum / denom
         if off > 0:
-            quality = max(v0, v1) / tot[0]
+            quality = max(v0, v1) / tot[0] if tot[0] > 0 else 0.0
         else:
             quality = wsum / (i0 + i1)
-        return dopp_idx, 10 * np.log10(quality)
+        with np.errstate(divide="ignore"):
+            return dopp_idx, 10 * np.log10(quality)
 
     # per-mask weighted average, then mean over masks
     M = E.shape[1]
@@ -132,12 +140,18 @@ def find_doppler_est(E: np.ndarray, spec: DemodSpec):
         i0 += off
         i1 += off
         wsum = i0 * v0 + i1 * v1
-        idxs[m] = wsum / (v0 + v1)
+        denom = v0 + v1
+        if denom <= 0:  # idle-channel guard, see sum_all_masks branch
+            idxs[m] = 0.0
+            quals[m] = 0.0
+            continue
+        idxs[m] = wsum / denom
         if off > 0:
-            quals[m] = max(v0, v1) / E[0, m]
+            quals[m] = max(v0, v1) / E[0, m] if E[0, m] > 0 else 0.0
         else:
             quals[m] = wsum / (i0 + i1)
-    return idxs.mean(), 10 * np.log10(quals.mean())
+    with np.errstate(divide="ignore"):
+        return idxs.mean(), 10 * np.log10(quals.mean())
 
 
 def interpolate_doppler(dopp_idx: float, spec: DemodSpec):
@@ -176,8 +190,10 @@ def compute_snr(S: np.ndarray, spec: DemodSpec, lowIdx: int, highIdx: int) -> fl
 
     sig = circ_mean(lo - w, hi + w)
     noise = circ_mean(nlo - w, nhi + w)
+    if noise <= 0:  # idle block: no noise floor either -> no signal
+        return -np.inf
     ratio = sig / noise - 1
-    if ratio <= 0:
+    if not ratio > 0:
         return -np.inf
     return float(20 * np.log10(ratio))
 
