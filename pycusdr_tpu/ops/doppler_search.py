@@ -51,73 +51,6 @@ def doppler_energy_matmul(P: jnp.ndarray, Q_T: jnp.ndarray, shift_idx: jnp.ndarr
     return E * (N / ABS_SUM_SCALE)
 
 
-def doppler_energy_pallas(P: jnp.ndarray, Q_T: jnp.ndarray, shifts: jnp.ndarray,
-                          rows_per_step: int = 8, interpret: bool = False) -> jnp.ndarray:
-    """Fused shift-gather + matmul Pallas kernel for the Doppler search.
-
-    The jnp path materializes the (D, N) shifted power matrix in HBM
-    (~17 MB for UHF defaults) just to feed one matmul. Here the doubled
-    power spectrum (2N floats) and the mask power bank stay resident in
-    VMEM; each grid step dynamic-slices ``rows_per_step`` circular
-    shifts into VMEM scratch (scalar-prefetched shift indices) and runs
-    one MXU dot — the 3-D tensor of the reference
-    (``cuda_kernels.cu:339-373``) and the 2-D one of the jnp path never
-    touch HBM at all.
-
-    P: (N,) f32; Q_T: (N, M) f32; shifts: (D,) int32 in [0, N).
-    Returns E (D, M), scaled like ``doppler_energy_matmul``.
-    """
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    N = P.shape[0]
-    M = Q_T.shape[1]
-    D = shifts.shape[0]
-    TD = rows_per_step
-    Dp = -(-D // TD) * TD
-    shifts_p = jnp.concatenate(
-        [shifts.astype(jnp.int32),
-         jnp.zeros(Dp - D, jnp.int32)]
-    ) if Dp != D else shifts.astype(jnp.int32)
-    R = N // 128
-    # doubled spectrum as (2R+1, 128) rows: a circular shift s = 128q + r
-    # becomes a sublane-aligned dynamic row slice (q) plus a dynamic
-    # lane rotation (r) — Mosaic has no unaligned 1-D dynamic loads.
-    Ppad = jnp.concatenate([P, P, P[:128]]).reshape(2 * R + 1, 128)
-
-    def kernel(shift_ref, ppad_ref, qt_ref, out_ref, scratch):
-        i = pl.program_id(0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
-        for r in range(TD):
-            s = shift_ref[i * TD + r]
-            q = s // 128
-            rr = s % 128
-            A = pltpu.roll(ppad_ref[pl.ds(q, R), :], -rr, 1)
-            B = pltpu.roll(ppad_ref[pl.ds(q + 1, R), :], -rr, 1)
-            scratch[r, :] = jnp.where(lane < 128 - rr, A, B).reshape(N)
-        out_ref[:, :] = jnp.dot(scratch[:, :], qt_ref[:, :],
-                                preferred_element_type=jnp.float32)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(Dp // TD,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # Ppad, resident
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # Q_T, resident
-        ],
-        out_specs=pl.BlockSpec((TD, M), lambda i, *_: (i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((TD, N), jnp.float32)],
-    )
-    E = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((Dp, M), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(shifts_p, Ppad, Q_T)
-    return E[:D] * (N / ABS_SUM_SCALE)
-
-
 def make_qf_ri(masks_f: np.ndarray) -> np.ndarray:
     """Constant for the correlation route: conj(FFT(|masks_f|^2)) as a
     split (M, 2, N) float32 bank."""
