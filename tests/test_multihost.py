@@ -47,6 +47,104 @@ print("WORKER_OK", proc_id)
 '''
 
 
+HALO_WORKER = r'''
+import os, sys
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=2, process_id=proc_id)
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import __graft_entry__ as g
+from pycusdr_tpu.ops.cfft import c2ri
+from pycusdr_tpu.parallel.halo import build_time_sharded_stream
+
+spec = g.tiny_spec()
+devs = np.asarray(jax.devices())
+assert devs.size == 8  # 2 processes x 4 virtual devices
+mesh = Mesh(devs, ("time",))
+stream = build_time_sharded_stream(spec, mesh)
+
+N, ov = spec.Nfft, spec.sigOverlap
+hop = N - ov
+T = 8
+rng = np.random.RandomState(7)
+sig = (rng.randn(ov + hop * T) + 1j * rng.randn(ov + hop * T)).astype(np.complex64)
+carry = c2ri(sig[:ov])
+new = c2ri(sig[ov : ov + hop * T].reshape(T, hop))  # (T, 2, hop)
+
+sharding = NamedSharding(mesh, P("time", None, None))
+local = sharding.addressable_devices_indices_map(new.shape)
+arrs = [jax.device_put(new[idx], d) for d, idx in local.items()]
+gnew = jax.make_array_from_single_device_arrays(new.shape, sharding, arrs)
+
+res, carry_out = stream(gnew, jax.device_put(carry))
+jax.block_until_ready(res)
+out = {{}}
+for sh in res["bits"].addressable_shards:
+    t0 = sh.index[0].start or 0
+    data = np.asarray(sh.data)
+    for k in range(data.shape[0]):
+        out[t0 + k] = data[k]
+np.savez(sys.argv[3] + "/halo_bits_%d.npz" % proc_id,
+         **{{str(t): b for t, b in out.items()}})
+print("WORKER_OK", proc_id)
+'''
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="Gloo localhost test")
+def test_two_process_distributed_halo_stream(tmp_path):
+    """The ppermute halo-exchange time sharding under jax.distributed:
+    2 processes x 4 devices, bit-identical to the serial block chain."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "halo_worker.py"
+    script.write_text(HALO_WORKER.format(repo=repo))
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    port = "36140"
+    procs = [
+        subprocess.Popen([sys.executable, str(script), str(i), port, str(tmp_path)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        outs.append(out.decode())
+    for i, out in enumerate(outs):
+        assert f"WORKER_OK {i}" in out, f"halo worker {i} failed:\n{out[-2000:]}"
+
+    bits = {}
+    for i in range(2):
+        with np.load(tmp_path / f"halo_bits_{i}.npz") as z:
+            for t in z.files:
+                bits[int(t)] = z[t]
+    assert sorted(bits) == list(range(8))
+
+    # serial reference: the same capture through the single-chip chain
+    import __graft_entry__ as g
+    from pycusdr_tpu.dsp.block import build_process_block
+    from pycusdr_tpu.ops.cfft import c2ri
+
+    spec = g.tiny_spec()
+    N, ov = spec.Nfft, spec.sigOverlap
+    hop = N - ov
+    rng = np.random.RandomState(7)
+    sig = (rng.randn(ov + hop * 8) + 1j * rng.randn(ov + hop * 8)).astype(np.complex64)
+    single = build_process_block(spec, jit=True)
+    for t in range(8):
+        ref = {k: np.asarray(v) for k, v in single(c2ri(sig[t * hop : t * hop + N])).items()}
+        n = int(ref["nBits"])
+        np.testing.assert_array_equal(bits[t][:n], ref["bits"][:n],
+                                      err_msg=f"block {t}")
+
+
 @pytest.mark.skipif(sys.platform != "linux", reason="Gloo localhost test")
 def test_two_process_distributed_sharded_demod(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
