@@ -109,8 +109,8 @@ def _stream_one(demod, protocol, conf, sig, expected_bytes, n_bits):
 
 
 def run_delta(modulations=("FSK", "GFSK", "GMSK", "BPSK"), snrs=None, runs=10,
-              packetLen=10000, seed=123, spSym=16, baud=9600, blockSize=13,
-              overlap=10, out_path=None, verbose=True):
+              packetLen=10000, seed=123, spSym=16, baud=9600, blockSize=None,
+              overlap=None, out_path=None, verbose=True):
     from pycusdr_tpu.bench.ber import modulation_bandwidth
     from pycusdr_tpu.dsp.signal_gen import awgn, get_padded_packet, packet_data
 
@@ -121,7 +121,14 @@ def run_delta(modulations=("FSK", "GFSK", "GMSK", "BPSK"), snrs=None, runs=10,
             os.path.join(CONF_DIR, "benchmark", f"bench_{mod}.json"))
         conf["Main"].update(PacketLen=packetLen, RandSeed=seed,
                             protocols={"UHF": f"bench_{mod}"})
-        conf["GPU"]["UHF"].update(blockSize=blockSize, overlap=overlap)
+        # blockSize None keeps each config's operational envelope (2^15
+        # for the bench configs); 2^13 is ~4x faster in the numpy golden
+        # arm but costs GMSK/BPSK real sensitivity (only 512 symbols of
+        # Doppler/timing integration per block)
+        if blockSize is not None:
+            conf["GPU"]["UHF"]["blockSize"] = blockSize
+        if overlap is not None:
+            conf["GPU"]["UHF"]["overlap"] = overlap
 
         arm_a, proto_a = _make_arm(conf, f"bench_{mod}", golden=False)
         arm_b, proto_b = _make_arm(conf, f"bench_{mod}", golden=True)
@@ -183,7 +190,7 @@ def main():
     ap.add_argument("--snrs", type=float, nargs="+", default=None)
     ap.add_argument("--runs", type=int, default=10)
     ap.add_argument("--packetLen", type=int, default=10000)
-    ap.add_argument("--blockSize", type=int, default=13)
+    ap.add_argument("--blockSize", type=int, default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpu", action="store_true", default=True)
     args = ap.parse_args()
