@@ -91,7 +91,8 @@ def _send_run(pub_socks, sig, snr_raw, rate, chunk, rng):
 def run_ber_sweep(modulation="FSK", nRuns=3, snrs=(15.0,), *, nDemodulators=1,
                   packetLen=10000, seed=123, spSym=16, baud=9600,
                   fsSimFactor=10.0, basePort=25560, conf=None, out_path=None,
-                  blockSize=None, settle=6.0, ready_timeout=90.0):
+                  blockSize=None, settle=6.0, ready_timeout=90.0, args=None,
+                  drain_s=3.0, drain_cap=60.0):
     """Run the BER sweep; returns a result dict (and saves npz if asked).
 
     ``conf`` may override the shipped bench config (a dict); ports are
@@ -141,7 +142,7 @@ def run_ber_sweep(modulation="FSK", nRuns=3, snrs=(15.0,), *, nDemodulators=1,
                                raw_bits=bits, pad=10000)
     sig = sig.astype(np.complex64)
 
-    sdr = PyCuSDR(dict(conf), args=None)
+    sdr = PyCuSDR(dict(conf), args=args)
     sdr.start()
 
     ctx = zmq.Context()
@@ -197,7 +198,19 @@ def run_ber_sweep(modulation="FSK", nRuns=3, snrs=(15.0,), *, nDemodulators=1,
                 _send_run(pubs, sig, snr_raw, rate, chunk, rng)
             _send_run(pubs, lead, 100.0, rate, chunk, rng)
             _send_run(pubs, np.zeros(6 * chunk, np.complex64), 100.0, rate, chunk, rng)
-            time.sleep(3.0)
+            # adaptive drain: the demod children may lag the paced send
+            # (especially multi-channel on a shared host); wait until no
+            # packet has arrived for ``drain_s`` seconds so results from
+            # this SNR point never bleed into the next
+            t_drain = time.time()
+            n_seen = len(rx.bitErrors)
+            while time.time() - t_drain < drain_cap:
+                time.sleep(0.5)
+                if len(rx.bitErrors) != n_seen:
+                    n_seen = len(rx.bitErrors)
+                    t_drain = time.time()
+                elif time.time() - t_drain >= drain_s:
+                    break
             rx.running = False
             rx.join(timeout=3)
 

@@ -76,11 +76,17 @@ class Worker:
         self.totalRequestCount = 0
         self._dataRequestCounter = 0  # cleared whenever data is sent onward
 
-        self.arrivalTimes = [{"time": time.time(), "idx": 0}]
+        self.arrivalTimes = [{"time": time.time(), "idx": 0,
+                              "count": int(workerData.get("count", 0))}]
         self.data = {}
 
         self.workerId = str(workerData["workerId"])
         self.timestamp = time.time()
+        # frontier bookkeeping: channels in a vote group demodulate the
+        # same stream, so block counts are comparable across workers —
+        # the latest count tells how far this channel has processed
+        self.latestCount = int(workerData.get("count", 0))
+        self.lastArrival = time.time()
 
         for key in self.keyNames:
             self.safeAdd(key, workerData)
@@ -155,7 +161,11 @@ class Worker:
                 f"data workerId {workerData['workerId']} does not match {self.workerId}"
             )
 
-        self.arrivalTimes.append({"time": time.time(), "idx": self.tail})
+        now = time.time()
+        self.arrivalTimes.append({"time": now, "idx": self.tail,
+                                  "count": int(workerData.get("count", 0))})
+        self.latestCount = int(workerData.get("count", self.latestCount))
+        self.lastArrival = now
 
         if workerData["count"] - 1 > self.data.get("count", 0):
             log.warning(
@@ -216,6 +226,13 @@ class Worker:
             self.activeSlave = None
             for key in self.arrayKeyNames:
                 out[key] = self.data[key][self.head : self.tail]
+            # block count of each container overlapping the window,
+            # keyed by its offset inside the window (frontier holds)
+            out["countWindow"] = [
+                (max(0, at["idx"] - self.head), at["count"])
+                for at in self.arrivalTimes
+                if at["idx"] < self.tail and "count" in at
+            ]
             out["count"] = self.getCount
             if len(out["data"]) > 0:
                 self.totalRequestCount += 1

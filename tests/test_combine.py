@@ -354,3 +354,83 @@ class TestSoftCombinerProcess:
             seg = truth[lag : lag + len(bits)]
             best = max(best, longest_match_run(bits[: len(seg)], seg))
         assert best > 1500, f"voted stream does not match truth (best run {best})"
+
+class TestSegmentedAlignment:
+    """The beyond-reference per-segment alignment (combine/aligner.py
+    BufferAligner + SoftCombiner.correlate): a bit slip between
+    channels mid-window must not poison the vote past the slip, which
+    is exactly what the reference's single whole-window lag does."""
+
+    def _combiner(self, combiner_conf):
+        comb = SoftCombiner(combiner_conf)  # never started: correlate only
+        return comb
+
+    def test_vote_survives_mid_window_slip(self, combiner_conf):
+        rng = np.random.RandomState(9)
+        n = 8000
+        truth = rng.randint(0, 2, n).astype(np.int8)
+        p = 0.02
+
+        def corrupted():
+            b = truth.copy()
+            b[rng.rand(n) < p] ^= 1
+            return b
+
+        master = Worker(wdict("M", corrupted()))
+        # both slaves slip inside segment [4000:6000): one drops a bit,
+        # one gains a bit, so that segment fails the agreement gate for
+        # both while every other segment realigns at its own lag
+        a = np.delete(corrupted(), 4500)
+        b = np.insert(corrupted(), 4600, rng.randint(0, 2))
+        slaveA = Worker(wdict("A", np.r_[rng.randint(0, 2, 300), a]))
+        slaveB = Worker(wdict("B", np.r_[rng.randint(0, 2, 150), b]))
+
+        comb = self._combiner(combiner_conf)
+        out = comb.correlate(master, [slaveA, slaveB])
+        assert out is not None and out["numSlaves"] == 2
+
+        voted = np.asarray(out["data"], np.int8)[:n]
+        master_errs = int((wdict("M", truth)["data"] != truth).sum())  # 0 baseline
+        voted_errs = int((voted != truth[: len(voted)]).sum())
+        # master alone carries ~p*n = 160 errors; the 3-way vote corrects
+        # them everywhere except the slipped segment (~2000 bits at p)
+        assert voted_errs < 0.02 * n * 0.5, (
+            f"vote did not correct past the slip: {voted_errs} errors"
+        )
+
+    def test_whole_window_tail_would_have_misvoted(self, combiner_conf):
+        """Sanity: the slip actually breaks a single-lag alignment --
+        agreement past the slip point is chance level."""
+        rng = np.random.RandomState(11)
+        n = 8000
+        truth = rng.randint(0, 2, n).astype(np.int8)
+        slipped = np.delete(truth, n // 2)
+        lag, ok = xcorr_peak(slipped, truth, 10.0)
+        if ok:
+            tail = slipped[lag + n // 2 : lag + n - 1]
+            agree = np.mean(tail == truth[n // 2 : n // 2 + len(tail)])
+            assert agree < 0.6  # chance-level past the slip
+
+    def test_pending_tail_held_for_lagging_slave(self, combiner_conf):
+        """A slave that hasn't yet buffered the window tail causes the
+        tail to be rolled back and re-voted next round."""
+        rng = np.random.RandomState(12)
+        n = 6000
+        truth = rng.randint(0, 2, n).astype(np.int8)
+        master = Worker(wdict("M", truth))
+        # slave has only the first 2/3 of the stream so far
+        slave = Worker(wdict("A", truth[: 2 * n // 3]))
+
+        comb = self._combiner(combiner_conf)
+        out = comb.correlate(master, [slave])
+        assert out is not None and out["numSlaves"] == 1
+        sent = len(out["data"])
+        assert sent < n, "tail was not held back"
+
+        # slave catches up; the held tail is re-served and voted
+        slave.insertData(wdict("A", truth[2 * n // 3 :], count=1))
+        out2 = comb.correlate(master, [slave])
+        assert out2 is not None and out2["numSlaves"] == 1
+        got = np.r_[np.asarray(out["data"]), np.asarray(out2["data"])]
+        assert len(got) >= n
+        assert np.array_equal(got[:n], truth)
