@@ -60,7 +60,7 @@ def synth_packet(conf, radioName, payload_len, seed):
         fs = confRadio["baud"] * confRadio["samplesPerSym"]
         bits = packet_data(conf["Main"].get("PacketLen", 10000),
                            conf["Main"].get("RandSeed", 123))
-        mod = protoName.split("_", 1)[1].replace("BPSK", "BPSK")
+        mod = protoName.split("_", 1)[1]
         sig, _ = get_padded_packet(mod, confRadio["samplesPerSym"], fs,
                                    offset_freq=confRadio["frequencyOffset_Hz"],
                                    raw_bits=bits, pad=0)
@@ -168,7 +168,7 @@ def main(argv=None):
     if args.iq:
         capture = np.fromfile(args.iq, np.complex64)
         print(f"looping {len(capture)} samples from {args.iq}")
-        burst, next_burst = None, None
+        burst = None
     else:
         burst = synth_packet(conf, radios[0], args.payload_len, args.seed)
         print(f"synthesized burst: {len(burst)} samples "
@@ -187,11 +187,11 @@ def main(argv=None):
         while args.duration is None or time.time() - t0 < args.duration:
             t = sent / fs
             if capture is not None:
-                chunk = capture[pos : pos + CHUNK]
-                pos = (pos + CHUNK) % max(len(capture) - CHUNK, 1)
-                if len(chunk) < CHUNK:
-                    chunk = np.r_[chunk, capture[: CHUNK - len(chunk)]]
-                chunk = chunk.copy()
+                # contiguous circular read: the tail plays out and the
+                # stream wraps to the head without skipping samples
+                idx = (pos + np.arange(CHUNK)) % len(capture)
+                chunk = capture[idx]
+                pos = (pos + CHUNK) % len(capture)
             else:
                 chunk = noise_amp * (rng.randn(CHUNK) + 1j * rng.randn(CHUNK)
                                      ).astype(np.complex64) * np.float32(0.7071)

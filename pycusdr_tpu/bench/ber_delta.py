@@ -192,7 +192,8 @@ def main():
     ap.add_argument("--packetLen", type=int, default=10000)
     ap.add_argument("--blockSize", type=int, default=None)
     ap.add_argument("--out", default=None)
-    ap.add_argument("--cpu", action="store_true", default=True)
+    ap.add_argument("--cpu", action=argparse.BooleanOptionalAction, default=True,
+                    help="run on the CPU backend (--no-cpu targets the TPU)")
     args = ap.parse_args()
     if args.cpu:
         import jax

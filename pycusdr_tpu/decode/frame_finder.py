@@ -248,7 +248,11 @@ class Decoder:
 
         for i in range(len(packetIdx)):
             if packetIdx[i] in emitted_prev:
-                continue  # already emitted from the previous held window
+                # Already emitted from the previous held window; keep the
+                # offset alive in case the window is held yet again, or the
+                # frame would re-emit on the call after next.
+                emitted_abs.append(int(packetIdx[i]))
+                continue
             avail = len(rawBits) - packetIdx[i]
             hdr_len = (self.packetEndLenField + self.packetEndLenFieldNumBytes) * 8
             if avail < hdr_len:

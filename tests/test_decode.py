@@ -288,3 +288,42 @@ class TestInDataMode:
         # NOT be emitted a second time
         pkts2, _, _ = dec.findFrames(np.zeros(400, np.int8), 0)
         assert [len(p.bits) for p in pkts2].count(total) == 0
+
+    def test_no_reemission_while_candidate_keeps_starving(self):
+        """Dedup memory must survive REPEATED holds: when the starving
+        candidate stays starving across several calls, an already-emitted
+        frame inside the held window must never re-emit (previously the
+        emitted-offset set only lasted one call, so the frame re-emitted
+        every other call)."""
+        from pycusdr_tpu.decode.frame_finder import Decoder
+
+        proto = self._protocol()
+        dec = Decoder({}, proto)
+        rng = np.random.RandomState(11)
+        hdr = np.ones(16, np.int8)
+
+        # starving candidate: wants 31 payload bytes (272 bits total)
+        starving = np.r_[hdr, np.array([0, 0, 0, 1, 1, 1, 1, 1], np.int8)]
+        payload_len = 4
+        len_byte = np.array([int(b) for b in f"{payload_len:08b}"], np.int8)
+        payload = rng.randint(0, 2, payload_len * 8).astype(np.int8)
+        complete = np.r_[hdr, len_byte, payload]
+
+        block1 = np.r_[np.zeros(30, np.int8), starving,
+                       np.zeros(40, np.int8), complete, np.zeros(20, np.int8)]
+        pkts1, _, _ = dec.findFrames(block1, 0)
+        total = 16 + 8 + payload_len * 8
+        assert [len(p.bits) for p in pkts1].count(total) == 1
+
+        # drip-feed continuations too small to satisfy the starving
+        # candidate: the window is held again each call, and the frame
+        # must not reappear on ANY of them
+        for i in range(4):
+            pkts, _, _ = dec.findFrames(np.zeros(40, np.int8), 0)
+            assert [len(p.bits) for p in pkts].count(total) == 0, (
+                f"frame re-emitted on drip call {i + 1}")
+
+        # once the candidate finally gets its data it resolves (to a
+        # junk packet of zeros) and the frame STILL does not reappear
+        pkts, _, _ = dec.findFrames(np.zeros(400, np.int8), 0)
+        assert [len(p.bits) for p in pkts].count(total) == 0
