@@ -54,7 +54,22 @@ def sustained_msps(core, spec, B, T=10, repeats=3):
     def bench_fn(batch):
         def body(carry, _):
             out = vc(batch + carry * jnp.float32(1e-30))
-            c2 = carry + out["nBits"].sum().astype(jnp.float32) * jnp.float32(1e-30)
+            # consume EVERY output family: a probe that only reads nBits
+            # (a function of spSym alone) lets XLA dead-code-eliminate
+            # the entire symbol-detection tree + bit extraction, and the
+            # "full chain" rate silently becomes a partial-chain rate
+            used = (
+                out["nBits"].sum().astype(jnp.float32)
+                + out["bits"].sum().astype(jnp.float32)
+                + out["trust"].sum().astype(jnp.float32)
+                + out["symbols"].sum().astype(jnp.float32)
+                + out["centres"].sum().astype(jnp.float32)
+                + out["mags"].sum()
+                + out["doppler_hz"].sum()
+                # noise blocks report SNR -inf by design; keep the carry finite
+                + jnp.nan_to_num(out["snr_db"], neginf=-1.0).sum()
+            )
+            c2 = carry + used * jnp.float32(1e-30)
             return c2, None
 
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=T)

@@ -177,8 +177,12 @@ def build_stage_fns(spec):
     from pycusdr_tpu.ops.cfft import c2ri, fft_ri
     from pycusdr_tpu.ops.demod_kernels import (
         apply_best_doppler_power,
+        compute_snr,
+        dilate_mask_dynamic,
+        extract_bits_lut,
         find_centres,
         find_code_rate_and_phase,
+        threshold_input,
     )
     from pycusdr_tpu.ops.doppler_search import (
         doppler_energy_corr,
@@ -230,6 +234,35 @@ def build_stage_fns(spec):
         return (symbols.sum() + centres.sum()).astype(jnp.float32) + mags.sum() \
             + nSym.astype(jnp.float32) + spc
 
+    clip0 = (rng.rand(N) > 0.999)
+
+    def s_centres_clip(P2, spSym, codeOffset):
+        # the shape the full graph actually runs: clip mask riding the tree
+        symbols, centres, mags, nSym, spc, at_win = find_centres(
+            P2, spSym, codeOffset, Nfft=N, windowWidth=spec.windowWidth,
+            spsymMin=spec.spsymMin, numSymMax=spec.numSymMax,
+            clip_mask=jnp.asarray(clip0))
+        return (symbols.sum() + centres.sum() + at_win.sum()
+                ).astype(jnp.float32) + mags.sum() + nSym.astype(jnp.float32) + spc
+
+    def s_clip(sig):
+        out, hit = threshold_input(sig, spec.peak_threshold_scale)
+        dil = dilate_mask_dynamic(hit, jnp.int32(2 * spec.spsym))
+        return out.sum() + dil.sum().astype(jnp.float32)
+
+    def s_snr(sig):
+        absS = jnp.sqrt(sig[0] ** 2 + sig[1] ** 2)
+        return compute_snr(absS, jnp.int32(100), jnp.int32(300),
+                           spec.snr_window, N)
+
+    sym0 = rng.randint(0, M, spec.numSymMax).astype(np.int32)
+    bitLUT = (spec.bitLUT.astype(np.int8) if spec.bitLUT is not None
+              else np.arange(M, dtype=np.int8) % 2)
+
+    def s_bits(symbols):
+        return extract_bits_lut(symbols, jnp.asarray(bitLUT)
+                                ).sum().astype(jnp.float32)
+
     core = build_process_block(spec, jit=False)
 
     def s_full(sig):
@@ -244,12 +277,113 @@ def build_stage_fns(spec):
         "mask_bank": (s_bank, [S]),
         "timing": (s_timing, [P2]),
         "centres": (s_centres, [P2, spSym, codeOffset]),
+        "centres_clip": (s_centres_clip, [P2, spSym, codeOffset]),
+        "clip": (s_clip, [sig]),
+        "snr": (s_snr, [sig]),
+        "bits": (s_bits, [sym0]),
         "full": (s_full, [sig]),
     }
     return stages
 
 
-def run_profile(batches=(1, 64), T=10, spec=None):
+def build_prefix_fns(spec):
+    """Cumulative prefixes of the REAL flagship graph (doppler search on,
+    corr route, thresholding off, centre-bit LUT), each consuming every
+    live intermediate. Incremental deltas between consecutive prefixes
+    are the true in-graph cost of each stage INCLUDING fusion effects
+    the isolated stage closures miss (e.g. the mask bank runs at a
+    traced shift here, not a constant)."""
+    import jax.numpy as jnp
+
+    from pycusdr_tpu.dsp.block import CORR_ROUTE_MIN_D, build_process_block
+    from pycusdr_tpu.ops.cfft import c2ri, fft_ri
+    from pycusdr_tpu.ops.demod_kernels import (
+        apply_best_doppler_power,
+        compute_snr,
+        extract_bits_lut,
+        find_centres,
+        find_code_rate_and_phase,
+    )
+    from pycusdr_tpu.ops.doppler_search import (
+        doppler_energy_corr,
+        find_doppler_estimate,
+        make_qf_ri,
+    )
+
+    N, M, D = spec.Nfft, spec.num_masks, spec.D
+    assert D >= CORR_ROUTE_MIN_D and spec.disable_peak_thresholding \
+        and spec.bitLUT is not None
+    qf_ri = jnp.asarray(make_qf_ri(spec.masks_f))
+    masks_ri = jnp.asarray(c2ri(spec.masks_f))
+    dopp_shifts = jnp.asarray(spec.dopp_shifts.astype(np.int32))
+    hz_lut = jnp.asarray(spec.dopp_hz_lut.astype(np.float32))
+    bitLUT = jnp.asarray(spec.bitLUT.astype(np.int8))
+
+    rng = np.random.RandomState(7)
+    sig = c2ri((rng.randn(N) + 1j * rng.randn(N)).astype(np.complex64))
+
+    def upto(stop):
+        def fn(sig):
+            S = fft_ri(sig)
+            P = S[0] ** 2 + S[1] ** 2
+            if stop == "fft":
+                return P.sum()
+            E = doppler_energy_corr(P, qf_ri, dopp_shifts, jnp.int32(0))
+            if stop == "dopp":
+                return E.sum() + P.sum() * 0
+            dopp_idx, quality_db = find_doppler_estimate(
+                E, spec.num_dopplers, spec.dopp_array_offset, spec.sum_all_masks)
+            lowIdx = jnp.clip(jnp.floor(dopp_idx).astype(jnp.int32), 0, D - 1)
+            highIdx = jnp.clip(jnp.ceil(dopp_idx).astype(jnp.int32), 0, D - 1)
+            frac = jnp.mod(dopp_idx, 1.0)
+            doppler_hz = hz_lut[lowIdx] + (hz_lut[highIdx] - hz_lut[lowIdx]) * frac
+            sh_signed = jnp.mod(dopp_shifts + N // 2, N) - N // 2
+            sl = sh_signed[lowIdx].astype(jnp.float32)
+            sh = sh_signed[highIdx].astype(jnp.float32)
+            shift = jnp.mod(jnp.round(sl + (sh - sl) * frac).astype(jnp.int32), N)
+            if stop == "est":
+                return doppler_hz + quality_db + shift.astype(jnp.float32)
+            absS = jnp.sqrt(P)
+            snr_db = compute_snr(absS, dopp_shifts[lowIdx], dopp_shifts[highIdx],
+                                 spec.snr_window, N)
+            if stop == "snr":
+                return doppler_hz + jnp.nan_to_num(snr_db, neginf=-99.0) \
+                    + shift.astype(jnp.float32)
+            P2 = apply_best_doppler_power(S, masks_ri, shift)
+            if stop == "bank":
+                return P2.sum() + doppler_hz
+            spSym, codeOffset, code_val = find_code_rate_and_phase(
+                P2, spec.code_idx_lo, spec.code_idx_hi, N,
+                spec.code_search_mask_offset)
+            if stop == "timing":
+                return spSym + codeOffset + code_val + doppler_hz + P2.sum() * 0
+            symbols, centres, mags, nSym, spc = find_centres(
+                P2, spSym, codeOffset, Nfft=N, windowWidth=spec.windowWidth,
+                spsymMin=spec.spsymMin, numSymMax=spec.numSymMax)
+            if stop == "centres":
+                return (symbols.sum() + centres.sum()).astype(jnp.float32) \
+                    + mags.sum() + spc + doppler_hz
+            bits = extract_bits_lut(symbols, bitLUT)
+            return (bits.sum() + symbols.sum() + centres.sum()
+                    ).astype(jnp.float32) + mags.sum() + spc + doppler_hz \
+                + jnp.nan_to_num(snr_db, neginf=-99.0) + quality_db
+        return fn
+
+    core = build_process_block(spec, jit=False)
+
+    def s_full(sig):
+        r = core(sig)
+        return (r["bits"].sum() + r["trust"].sum() + r["centres"].sum()
+                ).astype(jnp.float32) + r["spSym"] + r["doppler_hz"] + r["mags"].sum()
+
+    prefixes = {f"pre_{s}": (upto(s), [sig])
+                for s in ["fft", "dopp", "est", "snr", "bank", "timing", "centres"]}
+    prefixes["pre_bits"] = (upto("bits"), [sig])
+    prefixes["full"] = (s_full, [sig])
+    return prefixes
+
+
+def run_profile(batches=(1, 64), T=10, spec=None, mode="stages"):
     import jax
 
     if spec is None:
@@ -258,7 +392,7 @@ def run_profile(batches=(1, 64), T=10, spec=None):
         spec = flagship_spec()
 
     flops = stage_flops(spec)
-    stages = build_stage_fns(spec)
+    stages = build_prefix_fns(spec) if mode == "prefix" else build_stage_fns(spec)
     eff = spec.Nfft - spec.sigOverlap
 
     result = {
@@ -300,9 +434,13 @@ def main():
     ap.add_argument("--batches", type=int, nargs="+", default=[1, 64])
     ap.add_argument("--T", type=int, default=10)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--mode", choices=["stages", "prefix"], default="stages",
+                    help="stages: isolated stage closures; prefix: cumulative"
+                         " prefixes of the real graph (deltas = true "
+                         "in-graph incremental cost)")
     args = ap.parse_args()
 
-    res = run_profile(tuple(args.batches), args.T)
+    res = run_profile(tuple(args.batches), args.T, mode=args.mode)
     print(json.dumps(res, indent=1))
     if args.out:
         with open(args.out, "w") as f:

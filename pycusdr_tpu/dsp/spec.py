@@ -161,6 +161,18 @@ def build_spec(conf: dict, protocol, radioName: str) -> DemodSpec:
     spsymMin = int(spsym / 2)
     backend = confRadio.get("radioBackend", "UHF")
 
+    # Static slot-count bound: spSym always comes from the timing band
+    # (find_code_rate_and_phase restricts its argmax to
+    # [Nfft/(1.1·spsym), Nfft/(0.9·spsym))), so spc = max(Nfft/k,
+    # spsymMin) = Nfft/k with k < code_idx_hi — the spsymMin clamp can
+    # never bind inside the band (Nfft/code_idx_hi ≈ 0.9·spsym >
+    # spsymMin = spsym/2) — and nSym = Nfft/spc ≤ k ≤ code_idx_hi − 1.
+    # The reference allocates the looser Nfft/spsymMin
+    # (demodulator_base.py:468-473); the tight bound cuts ~44% of the
+    # symbol-detection and bit-extraction work at the flagship shape.
+    code_idx_hi = int(Nfft / (0.9 * spsym))
+    num_sym_max = min(int(Nfft / spsymMin), -(-code_idx_hi // 128) * 128)
+
     spec = DemodSpec(
         radioName=radioName,
         Nfft=Nfft,
@@ -185,9 +197,9 @@ def build_spec(conf: dict, protocol, radioName: str) -> DemodSpec:
         centreFreqOffset=float(confRadio["frequencyOffset_Hz"]),
         voteWeight=int(confRadio.get("voteWeight", 1)),
         spsymMin=spsymMin,
-        numSymMax=int(Nfft / spsymMin),
+        numSymMax=num_sym_max,
         code_idx_lo=int(Nfft / (1.1 * spsym)),
-        code_idx_hi=int(Nfft / (0.9 * spsym)),
+        code_idx_hi=code_idx_hi,
         sampleRate=sampleRate,
     )
     return spec

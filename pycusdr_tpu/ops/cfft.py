@@ -200,6 +200,54 @@ def ifft_unnorm_power_ri(x):
     return rr * rr + ii * ii
 
 
+@lru_cache(maxsize=None)
+def _band_dft_consts(n: int, k2_lo: int, k2_hi: int):
+    """Constants for the pruned-output four-step band DFT: full W1 and
+    twiddle as in ``_four_step_consts`` but W2 restricted to output
+    tile rows k2 in [k2_lo, k2_hi)."""
+    n1, n2, W1, T, (w2r, w2i) = _four_step_consts(n, -1.0)
+    return n1, n2, W1, T, (w2r[k2_lo:k2_hi], w2i[k2_lo:k2_hi])
+
+
+def band_dft_real(x_real, lo: int, hi: int):
+    """Forward-DFT bins [lo, hi) of a REAL input — (..., N) f32 ->
+    (..., 2, hi-lo) split spectrum, identical to ``rfft_ri(x)[...,
+    lo:hi]``.
+
+    Output-pruned four-step: the band maps to a handful of k2 tile rows
+    (k = N1*k2 + k1), so stage 2 computes only ceil(band/N1) of the N2
+    output tiles, and the real input needs just TWO stage-1 matmuls
+    instead of the packed rfft's four-plus-unpack. For the symbol-timing
+    search (reference restricts its argmax to bins
+    [Nfft/(1.1·spSym), Nfft/(0.9·spSym)), cuda_kernels.cu:236-320) this
+    deletes ~97% of the transform's output work — the band is ~1-2 k2
+    tiles of a 2^16 transform.
+    """
+    n = x_real.shape[-1]
+    assert 0 <= lo < hi <= n // 2 + 1, (lo, hi, n)
+    p = n.bit_length() - 1
+    n1 = 1 << (p // 2)
+    k2_lo, k2_hi = lo // n1, (hi - 1) // n1 + 1
+    n1_, n2, (w1r, w1i), (tr, ti), (w2r, w2i) = _band_dft_consts(n, k2_lo, k2_hi)
+    batch = x_real.shape[:-1]
+    x = x_real.reshape(batch + (n1, n2))
+
+    # stage 1 on a real signal: A = W1 @ x (complex x real = 2 matmuls)
+    ar = jnp.einsum("kc,...cm->...km", w1r, x, preferred_element_type=jnp.float32)
+    ai = jnp.einsum("kc,...cm->...km", w1i, x, preferred_element_type=jnp.float32)
+    br, bi = cmul(ar, ai, tr, ti)
+    # stage 2 restricted to the band's k2 tiles -> C[k2_sel, k1]
+    cr = (jnp.einsum("kc,...mc->...km", w2r, br, preferred_element_type=jnp.float32)
+          - jnp.einsum("kc,...mc->...km", w2i, bi, preferred_element_type=jnp.float32))
+    ci = (jnp.einsum("kc,...mc->...km", w2r, bi, preferred_element_type=jnp.float32)
+          + jnp.einsum("kc,...mc->...km", w2i, br, preferred_element_type=jnp.float32))
+    flat_r = cr.reshape(batch + ((k2_hi - k2_lo) * n1,))
+    flat_i = ci.reshape(batch + ((k2_hi - k2_lo) * n1,))
+    s = lo - k2_lo * n1
+    return jnp.stack([flat_r[..., s : s + hi - lo],
+                      flat_i[..., s : s + hi - lo]], axis=-2)
+
+
 def rfft_ri(x_real):
     """Real-input FFT: (..., N) f32 -> (..., 2, N//2+1) split spectrum.
 

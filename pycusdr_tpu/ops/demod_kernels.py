@@ -14,7 +14,7 @@ split storage keeps the last (lane) axis at the transform length.
 import jax
 import jax.numpy as jnp
 
-from pycusdr_tpu.ops.cfft import cmul, ifft_unnorm_power_ri, ifft_unnorm_ri, rfft_ri
+from pycusdr_tpu.ops.cfft import band_dft_real, cmul, ifft_unnorm_power_ri, ifft_unnorm_ri
 
 
 def threshold_input(sig_ri: jnp.ndarray, scale: float):
@@ -89,9 +89,11 @@ def find_code_rate_and_phase(P2: jnp.ndarray, idx_lo: int, idx_hi: int, Nfft: in
     """
     M = P2.shape[0]
     power = jnp.sum(P2[mask_offset : M - mask_offset], axis=0)
-    R = rfft_ri(power)  # (2, N//2+1)
-    br = R[0, idx_lo:idx_hi]
-    bi = R[1, idx_lo:idx_hi]
+    # output-pruned band DFT: only the searched bins are ever computed
+    # (the full rfft spectrum is consumed nowhere else)
+    R = band_dft_real(power, idx_lo, idx_hi)  # (2, idx_hi-idx_lo)
+    br = R[0]
+    bi = R[1]
     band_pow = br * br + bi * bi
     k_rel = jnp.argmax(band_pow)
     val = band_pow[k_rel]

@@ -26,7 +26,7 @@ from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from pycusdr_tpu.dsp.spec import DemodSpec
-from pycusdr_tpu.ops.cfft import c2ri, fft_ri, rfft_ri
+from pycusdr_tpu.ops.cfft import band_dft_real, c2ri, fft_ri
 from pycusdr_tpu.ops.demod_kernels import (
     apply_best_doppler_power,
     compute_snr,
@@ -188,9 +188,11 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
             jnp.einsum("m,cmn->cn", w_mask_l, P2), "dopp"
         )  # (Cl, N) summed matched-filter power, all masks
 
-        R = rfft_ri(power)  # (Cl, 2, N//2+1)
-        br = R[:, 0, spec.code_idx_lo : spec.code_idx_hi]
-        bi = R[:, 1, spec.code_idx_lo : spec.code_idx_hi]
+        # output-pruned band DFT (see ops.cfft.band_dft_real): only the
+        # searched timing bins are computed
+        R = band_dft_real(power, spec.code_idx_lo, spec.code_idx_hi)
+        br = R[:, 0]
+        bi = R[:, 1]
         band_pow = br * br + bi * bi
         k_rel = jnp.argmax(band_pow, axis=1)
         pr = jnp.take_along_axis(br, k_rel[:, None], axis=1)[:, 0]

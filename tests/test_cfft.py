@@ -13,6 +13,7 @@ from pycusdr_tpu.ops.cfft import (
     FOUR_STEP_MIN,
     _four_step,
     _stockham,
+    band_dft_real,
     c2ri,
     cmul,
     fft_ri,
@@ -48,6 +49,30 @@ def test_rfft_matches_numpy(n):
     ref = np.fft.rfft(r)
     assert np.max(np.abs(R - ref)) / np.max(np.abs(ref)) < 2e-6
     assert R.shape == (n // 2 + 1,)
+
+
+@pytest.mark.parametrize("n,lo,hi", [
+    (65536, 3724, 4552),   # the flagship timing band (spsym 16)
+    (4096, 0, 1),          # DC only
+    (4096, 2047, 2049),    # straddling a k2-tile boundary
+    (512, 1, 257),         # full lower half, small n
+    (65536, 32760, 32769), # top of the rfft range incl. Nyquist
+])
+def test_band_dft_real_matches_rfft(n, lo, hi):
+    rng = np.random.RandomState(lo + 5)
+    r = rng.randn(n).astype(np.float32)
+    B = ri2c(jax.jit(lambda x: band_dft_real(x, lo, hi))(r))
+    ref = np.fft.rfft(r)[lo:hi]
+    assert B.shape == (hi - lo,)
+    assert np.max(np.abs(B - ref)) / np.max(np.abs(np.fft.rfft(r))) < 2e-6
+
+
+def test_band_dft_real_batched():
+    rng = np.random.RandomState(11)
+    r = rng.randn(3, 4096).astype(np.float32)
+    B = ri2c(jax.jit(lambda x: band_dft_real(x, 100, 400))(r))
+    ref = np.stack([np.fft.rfft(row)[100:400] for row in r])
+    assert np.max(np.abs(B - ref)) / np.max(np.abs(ref)) < 2e-6
 
 
 def test_both_paths_agree():
