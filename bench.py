@@ -106,7 +106,10 @@ def main():
     # throughput — a streaming deployment pipelines dispatches) is
     # amortized over 200 blocks ≈ 84 s of air time chained on device
     msps = max(sustained_msps(core, spec, B) for B in (16, 64))
-    msps_b1 = sustained_msps(core, spec, 1, T=200)
+    # B=1 runs the latency-mode graph — what the streaming single-channel
+    # path actually dispatches (one-hot row select instead of a gather)
+    core_lat = build_process_block(spec, jit=False, latency_mode=True)
+    msps_b1 = sustained_msps(core_lat, spec, 1, T=200)
 
     # --- CPU reference (numpy transliteration of the reference chain) ---
     rng = np.random.RandomState(0)

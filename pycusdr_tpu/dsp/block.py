@@ -48,12 +48,20 @@ TRUST_SYMBOL_ERROR = -1
 TRUST_CLIPPED = -2
 
 
-def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False):
+def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False,
+                        latency_mode: bool = False):
     """Return ``process_block(samples_ri) -> dict`` jitted for ``spec``.
 
     ``samples_ri``: (2, Nfft) float32 split complex block. All
     spec-derived constants are closed over as numpy (embedded by XLA).
+
+    ``latency_mode``: build the graph for SINGLE-block dispatch — the
+    symbol-slot row select runs as a bit-exact one-hot MXU matmul
+    instead of a gather (~2x faster unbatched, measured; see
+    ``ops.demod_kernels._select_rows_onehot``). Leave False for graphs
+    that will be vmapped over a batch, where the gather wins.
     """
+    select_route = "onehot" if latency_mode else "gather"
     N = spec.Nfft
     masks_ri = c2ri(spec.masks_f)  # (M, 2, N) f32
     Q_T = (np.abs(spec.masks_f.astype(np.complex64)) ** 2).T.astype(np.float32)  # (N, M)
@@ -146,12 +154,13 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False)
             symbols, centres, mags, nSym, spc, at_win = find_centres(
                 P2, spSym, codeOffset, Nfft=N, windowWidth=spec.windowWidth,
                 spsymMin=spec.spsymMin, numSymMax=spec.numSymMax,
-                clip_mask=clip_dil,
+                clip_mask=clip_dil, select_route=select_route,
             )
         else:
             symbols, centres, mags, nSym, spc = find_centres(
                 P2, spSym, codeOffset, Nfft=N, windowWidth=spec.windowWidth,
                 spsymMin=spec.spsymMin, numSymMax=spec.numSymMax,
+                select_route=select_route,
             )
 
         trust = jnp.full((spec.numSymMax,), trust_normal, dtype=jnp.int8)
@@ -206,7 +215,8 @@ def build_process_stream(spec: DemodSpec, jit: bool = True):
     chip rate; the real-time path uses the vmapped batch instead because
     its blocks are independent once assembled).
     """
-    core = build_process_block(spec, jit=False)
+    # each scan step demodulates ONE block, so the latency-mode select wins
+    core = build_process_block(spec, jit=False, latency_mode=True)
     ov = spec.sigOverlap
 
     def step(carry, hop_ri):

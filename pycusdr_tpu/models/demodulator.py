@@ -51,7 +51,10 @@ class Demodulator:
         self.sigOverlapWin = self.spec.sigOverlap // 2
         self.voteWeight = self.spec.voteWeight
 
-        self._process_block = build_process_block(self.spec, jit=jit)
+        # single-block dispatches take the latency-optimized graph; the
+        # vmapped backlog graphs (self._batched) keep the batch form
+        self._process_block = build_process_block(self.spec, jit=jit,
+                                                  latency_mode=True)
         self.healer = BlockHealer(
             self.Nfft, self.sigOverlap,
             overlapOffset=self.overlapOffset,

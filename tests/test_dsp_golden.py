@@ -132,6 +132,20 @@ class TestJaxVsNumpyGolden:
         assert np.all(jx["trust"][:n] == 2)
 
 
+def test_latency_mode_bit_identical(fsk_block):
+    """The latency-mode (one-hot matmul row select) graph must produce
+    BIT-IDENTICAL outputs to the default gather graph — the one-hot
+    contractions sum exactly one nonzero f32 term per slot."""
+    spec, bits, sig = fsk_block
+    from pycusdr_tpu.ops.cfft import c2ri
+
+    a = build_process_block(spec)(c2ri(sig))
+    b = build_process_block(spec, latency_mode=True)(c2ri(sig))
+    for k in a:
+        va, vb = np.asarray(a[k]), np.asarray(b[k])
+        assert np.array_equal(va, vb), f"output {k!r} differs in latency mode"
+
+
 def test_sum_all_masks_vs_per_mask(fsk_block):
     """Both Doppler estimators must land on the same grid region."""
     spec, bits, sig = fsk_block
