@@ -286,7 +286,7 @@ def build_stage_fns(spec):
     return stages
 
 
-def build_prefix_fns(spec):
+def build_prefix_fns(spec, latency_mode=False):
     """Cumulative prefixes of the REAL flagship graph (doppler search on,
     corr route, thresholding off, centre-bit LUT), each consuming every
     live intermediate. Incremental deltas between consecutive prefixes
@@ -359,7 +359,8 @@ def build_prefix_fns(spec):
                 return spSym + codeOffset + code_val + doppler_hz + P2.sum() * 0
             symbols, centres, mags, nSym, spc = find_centres(
                 P2, spSym, codeOffset, Nfft=N, windowWidth=spec.windowWidth,
-                spsymMin=spec.spsymMin, numSymMax=spec.numSymMax)
+                spsymMin=spec.spsymMin, numSymMax=spec.numSymMax,
+                select_route="onehot" if latency_mode else "gather")
             if stop == "centres":
                 return (symbols.sum() + centres.sum()).astype(jnp.float32) \
                     + mags.sum() + spc + doppler_hz
@@ -369,7 +370,7 @@ def build_prefix_fns(spec):
                 + jnp.nan_to_num(snr_db, neginf=-99.0) + quality_db
         return fn
 
-    core = build_process_block(spec, jit=False)
+    core = build_process_block(spec, jit=False, latency_mode=latency_mode)
 
     def s_full(sig):
         r = core(sig)
@@ -383,7 +384,8 @@ def build_prefix_fns(spec):
     return prefixes
 
 
-def run_profile(batches=(1, 64), T=10, spec=None, mode="stages"):
+def run_profile(batches=(1, 64), T=10, spec=None, mode="stages",
+                latency_mode=False):
     import jax
 
     if spec is None:
@@ -392,7 +394,8 @@ def run_profile(batches=(1, 64), T=10, spec=None, mode="stages"):
         spec = flagship_spec()
 
     flops = stage_flops(spec)
-    stages = build_prefix_fns(spec) if mode == "prefix" else build_stage_fns(spec)
+    stages = (build_prefix_fns(spec, latency_mode) if mode == "prefix"
+              else build_stage_fns(spec))
     eff = spec.Nfft - spec.sigOverlap
 
     result = {
@@ -438,9 +441,13 @@ def main():
                     help="stages: isolated stage closures; prefix: cumulative"
                          " prefixes of the real graph (deltas = true "
                          "in-graph incremental cost)")
+    ap.add_argument("--latency-mode", action="store_true",
+                    help="profile the latency-optimized (single-block "
+                         "streaming) graph variant")
     args = ap.parse_args()
 
-    res = run_profile(tuple(args.batches), args.T, mode=args.mode)
+    res = run_profile(tuple(args.batches), args.T, mode=args.mode,
+                      latency_mode=args.latency_mode)
     print(json.dumps(res, indent=1))
     if args.out:
         with open(args.out, "w") as f:
