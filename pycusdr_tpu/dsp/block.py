@@ -32,15 +32,18 @@ from pycusdr_tpu.ops.demod_kernels import (
     threshold_input,
 )
 from pycusdr_tpu.ops.doppler_search import (
-    doppler_energy_corr,
+    doppler_energy_corr_dft,
     doppler_energy_matmul,
     find_doppler_estimate,
+    make_corr_dft_F,
     make_qf_ri,
     make_shift_gather_indices,
 )
 
-# Above this grid size the FFT-correlation evaluation of the Doppler
-# energy beats the shifted-spectrum matmul (measured 2.3x at D=64).
+# Above this grid size the correlation evaluation of the Doppler energy
+# (pruned-output DFT contraction, ops.doppler_search.doppler_energy_corr_dft)
+# beats the shifted-spectrum matmul; below it the (D, N) materialization
+# is small and the direct matmul wins.
 CORR_ROUTE_MIN_D = 32
 
 TRUST_NORMAL = 2
@@ -67,6 +70,8 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False,
     Q_T = (np.abs(spec.masks_f.astype(np.complex64)) ** 2).T.astype(np.float32)  # (N, M)
     shift_idx = make_shift_gather_indices(N, spec.dopp_shifts)
     qf_ri = make_qf_ri(spec.masks_f) if spec.D >= CORR_ROUTE_MIN_D else None
+    corr_F = (make_corr_dft_F(N, spec.dopp_shifts)
+              if spec.D >= CORR_ROUTE_MIN_D else None)
     dopp_shifts = spec.dopp_shifts.astype(np.int32)
     hz_lut = spec.dopp_hz_lut.astype(np.float32)
     D = spec.D
@@ -82,6 +87,12 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False,
         estimate of previous blocks instead of sweeping the full
         acquisition range — see models/tracking.py)."""
         sig = samples_ri.astype(jnp.float32)
+        # a compile-time-zero recentre (every non-tracking graph) skips
+        # the corr route's runtime phasor entirely
+        static_zero_centre = (
+            not isinstance(centre_shift, jax.core.Tracer)
+            and int(np.asarray(centre_shift)) == 0
+        )
         centre_shift = jnp.asarray(centre_shift, jnp.int32)
 
         if spec.disable_peak_thresholding:
@@ -95,8 +106,9 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False,
         if spec.doppler_search:
             absS = jnp.sqrt(P)
             if D >= CORR_ROUTE_MIN_D:
-                E = doppler_energy_corr(P, jnp.asarray(qf_ri),
-                                        jnp.asarray(dopp_shifts), centre_shift)
+                E = doppler_energy_corr_dft(
+                    P, jnp.asarray(qf_ri), jnp.asarray(corr_F),
+                    None if static_zero_centre else centre_shift)
             else:
                 # narrow grids: rotate the spectrum by the tracking
                 # centre so the static gather probes (k + s_d + centre);

@@ -95,19 +95,26 @@ def _four_step(re, im, n: int, sign: float):
 
     X[N1*k2 + k1] = sum_{n2} W_N^{n2 k1} W_{N2}^{n2 k2}
                     * sum_{n1} x[N2*n1 + n2] W_{N1}^{n1 k1}
+
+    ``im=None`` marks a real input: stage 1 drops the two imaginary
+    matmuls (25% of the transform's FLOPs).
     """
     n1, n2, (w1r, w1i), (tr, ti), (w2r, w2i) = _four_step_consts(n, sign)
     batch = re.shape[:-1]
     xr = re.reshape(batch + (n1, n2))
-    xi = im.reshape(batch + (n1, n2))
 
     def mm(a, b):  # (k, c) x (..., c, m) -> (..., k, m)
         return jnp.einsum("kc,...cm->...km", a, b,
                           preferred_element_type=jnp.float32)
 
     # stage 1: DFT over n1 -> A[k1, n2]
-    ar = mm(w1r, xr) - mm(w1i, xi)
-    ai = mm(w1r, xi) + mm(w1i, xr)
+    if im is None:
+        ar = mm(w1r, xr)
+        ai = mm(w1i, xr)
+    else:
+        xi = im.reshape(batch + (n1, n2))
+        ar = mm(w1r, xr) - mm(w1i, xi)
+        ai = mm(w1r, xi) + mm(w1i, xr)
     # twiddle
     br, bi = cmul(ar, ai, tr, ti)
     # stage 2: DFT over n2 -> C[k2, k1]; output index k = N1*k2 + k1
@@ -157,6 +164,18 @@ def fft_ri(x):
     """Forward FFT of a split array (..., 2, N) -> (..., 2, N)."""
     n = x.shape[-1]
     re, im = _fft_core(x[..., 0, :], x[..., 1, :], n, -1.0)
+    return jnp.stack([re, im], axis=-2)
+
+
+def fft_real_ri(x):
+    """Forward FFT of a REAL array (..., N) -> (..., 2, N): the
+    four-step stage 1 skips its two imaginary-part matmuls (the hot
+    consumer is the Doppler correlation's FFT of the power spectrum)."""
+    n = x.shape[-1]
+    if FOUR_STEP_MIN <= n <= FOUR_STEP_MAX:
+        re, im = _four_step(x, None, n, -1.0)
+    else:
+        re, im = _stockham(x, jnp.zeros_like(x), n, -1.0)
     return jnp.stack([re, im], axis=-2)
 
 

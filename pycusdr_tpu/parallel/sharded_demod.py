@@ -70,15 +70,16 @@ def _local_find_centres(P2_local, spSym, codeOffset, *, Nfft, windowWidth, spsym
 
     m_l = jnp.argmax(P2_local, axis=0).astype(jnp.int32)  # lowest local mask
     Vcol = jnp.max(P2_local, axis=0)
-    Vt, It, Mt = sliding_window_argmax(Vcol[None, :], W, (m_l,))
+    Ml = int(P2_local.shape[0])
+    Vt, payload, prod_b = sliding_window_argmax(
+        Vcol[None, :], W, (m_l,), extra_bounds=(Ml,), packed=True)
 
-    packed = jnp.stack(
-        [Vt[0], It[0].astype(jnp.float32), Mt[0].astype(jnp.float32)], axis=1
-    )  # (N+W, 3)
-    R = jnp.take(packed, A, axis=0)  # (numSymMax, 3)
+    packed = jnp.stack([Vt[0], payload[0]], axis=1)  # (N+W, 2)
+    R = jnp.take(packed, A, axis=0)  # (numSymMax, 2)
     val = R[:, 0]
-    k_win = (R[:, 1].astype(jnp.int32) - A).astype(jnp.int32)
-    m_sel = R[:, 2].astype(jnp.int32)
+    pf = R[:, 1].astype(jnp.int32)
+    m_sel = pf % jnp.int32(prod_b)
+    k_win = (pf // jnp.int32(prod_b) - A).astype(jnp.int32)
 
     nSym = (Nfft / spc).astype(jnp.int32)
     return val, k_win, m_sel, x, spc, comp, nSym

@@ -144,6 +144,47 @@ def test_doppler_corr_route_matches_matmul():
     np.testing.assert_allclose(a2, b2, rtol=2e-4)
 
 
+def test_doppler_corr_dft_route_matches_matmul():
+    """The pruned-output DFT Doppler energy (the batched-throughput
+    route) equals the shifted matmul, with and without a runtime
+    (traced) grid recentre."""
+    import jax
+    import jax.numpy as jnp
+
+    from pycusdr_tpu.ops.doppler_search import (
+        doppler_energy_corr_dft,
+        doppler_energy_matmul,
+        make_corr_dft_F,
+        make_qf_ri,
+        make_shift_gather_indices,
+    )
+
+    N, M, D = 4096, 8, 48
+    rng = np.random.RandomState(11)
+    masks_f = (rng.randn(M, N) + 1j * rng.randn(M, N)).astype(np.complex64)
+    P = np.abs(rng.randn(N)).astype(np.float32) * 100
+    shifts = rng.randint(0, N, D).astype(np.int32)
+
+    QT = (np.abs(masks_f) ** 2).T.astype(np.float32)
+    qf = jnp.asarray(make_qf_ri(masks_f))
+    F = jnp.asarray(make_corr_dft_F(N, shifts))
+    a = np.asarray(doppler_energy_matmul(
+        jnp.asarray(P), jnp.asarray(QT),
+        jnp.asarray(make_shift_gather_indices(N, shifts))))
+    b = np.asarray(doppler_energy_corr_dft(jnp.asarray(P), qf, F))
+    np.testing.assert_allclose(a, b, rtol=2e-4)
+
+    # traced runtime recentre (the tracking path) matches a
+    # pre-shifted grid, jitted so the phasor path actually traces
+    c = np.int32(37)
+    sidx_c = make_shift_gather_indices(N, (shifts + c) % N)
+    a2 = np.asarray(doppler_energy_matmul(
+        jnp.asarray(P), jnp.asarray(QT), jnp.asarray(sidx_c)))
+    f = jax.jit(lambda p, cc: doppler_energy_corr_dft(p, qf, F, cc))
+    b2 = np.asarray(f(jnp.asarray(P), jnp.asarray(c)))
+    np.testing.assert_allclose(a2, b2, rtol=2e-4)
+
+
 def test_block_graph_corr_route_golden():
     """A wide-grid spec (corr route) still matches the numpy reference."""
     import dataclasses

@@ -158,3 +158,34 @@ def test_sum_all_masks_vs_per_mask(fsk_block):
     idx_sum, _ = find_doppler_est(E, spec)
     idx_pm, _ = find_doppler_est(E, spec_pm)
     assert abs(idx_sum - idx_pm) < 2.0
+
+
+def test_sliding_window_argmax_packed_payload_exact():
+    """The f32-packed (index, extras) payload that rides the window tree
+    must decode bit-exactly at the LARGEST shipped shape: STX Nfft 2^17
+    with the clip flag riding along, where the payload spans
+    (N+W) * M * 2 ~ 2^21 — comfortably inside f32's 2^24 exact-integer
+    range, which this test pins against a brute-force numpy window scan."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from pycusdr_tpu.ops.demod_kernels import sliding_window_argmax
+
+    N, W, M = 1 << 17, 7, 8
+    rng = np.random.RandomState(3)
+    # many exact ties (quantized values) to exercise the earliest-wins rule
+    v = np.round(rng.rand(N).astype(np.float32) * 64) / 8
+    m_star = rng.randint(0, M, N).astype(np.int32)
+    clip = (rng.rand(N) > 0.9).astype(np.int32)
+
+    V, I, Msel, Csel = sliding_window_argmax(
+        v[None, :], W, (m_star, clip), extra_bounds=(M, 2))
+    V, I, Msel, Csel = (np.asarray(a)[0] for a in (V, I, Msel, Csel))
+
+    win = sliding_window_view(np.concatenate([v, np.full(W, -1.0, np.float32)]),
+                              W)[:N]
+    k = win.argmax(axis=1)  # numpy argmax = first max = earliest index
+    j = np.arange(N) + k
+    assert np.array_equal(V[:N], win.max(axis=1))
+    assert np.array_equal(I[:N], j)
+    assert np.array_equal(Msel[:N], m_star[j])
+    assert np.array_equal(Csel[:N], clip[j])
