@@ -125,11 +125,63 @@ def _four_step(re, im, n: int, sign: float):
     return cr.reshape(batch + (n,)), ci.reshape(batch + (n,))
 
 
+@lru_cache(maxsize=None)
+def _four_step_block_consts(n: int, sign: float):
+    """Block-real factor matrices for the one-matmul-per-stage four-step:
+    stage 1 as [ar; ai] = W1B @ [xr; xi] with W1B = [[W1r, -W1i],
+    [W1i, W1r]] (2n1, 2n1); stage 2 contracts the stacked last axis,
+    [cr; ci](k,m) = Σ_c W2B[c,k]·[br|bi](m,c) with W2B (2n2, 2n2)."""
+    n1, n2, (w1r, w1i), T, (w2r, w2i) = _four_step_consts(n, sign)
+    f = np.float32
+    W1B = np.block([[w1r, -w1i], [w1i, w1r]]).astype(f)
+    W1RB = np.concatenate([w1r, w1i], axis=0).astype(f)  # real input
+    W2B = np.block([[w2r.T, w2i.T], [-w2i.T, w2r.T]]).astype(f)
+    return n1, n2, W1B, W1RB, T, W2B
+
+
+def _four_step_block(re, im, n: int, sign: float, power_only=False):
+    """Four-step FFT with each complex DFT stage as ONE real block
+    matmul of doubled dimension instead of four n×n matmuls — same
+    FLOPs, 2× larger MXU tiles (wins when the per-matmul shape is too
+    small to fill the systolic array, i.e. small batch). Not bit-
+    identical to ``_four_step`` (the block contraction sums re/im
+    products in one accumulation), so a route choice applies to the
+    whole build (``FOUR_STEP_ROUTE``).
+
+    ``im=None`` marks real input (stage 1 contracts only xr).
+    ``power_only=True`` returns |X|² fused (the mask-bank consumer).
+    """
+    n1, n2, W1B, W1RB, (tr, ti), W2B = _four_step_block_consts(n, sign)
+    batch = re.shape[:-1]
+    xr = re.reshape(batch + (n1, n2))
+    if im is None:
+        a = jnp.einsum("kc,...cm->...km", W1RB, xr,
+                       preferred_element_type=jnp.float32)
+    else:
+        xs = jnp.concatenate([xr, im.reshape(batch + (n1, n2))], axis=-2)
+        a = jnp.einsum("kc,...cm->...km", W1B, xs,
+                       preferred_element_type=jnp.float32)
+    br, bi = cmul(a[..., :n1, :], a[..., n1:, :], tr, ti)
+    bs = jnp.concatenate([br, bi], axis=-1)  # (..., n1, 2n2)
+    c = jnp.einsum("ck,...mc->...km", W2B, bs,
+                   preferred_element_type=jnp.float32)
+    cr, ci = c[..., :n2, :], c[..., n2:, :]  # (..., k2, k1): X[n1·k2+k1]
+    if power_only:
+        return (cr * cr + ci * ci).reshape(batch + (n,))
+    return cr.reshape(batch + (n,)), ci.reshape(batch + (n,))
+
+
 # Below this length the O(N^2/sqrt(N)) matmul flops beat HBM-bound
 # butterflies; above it the Stockham path would win on flops but lose
 # badly on memory traffic. 2^18 keeps the DFT factors <= 512x512.
 FOUR_STEP_MAX = 1 << 18
 FOUR_STEP_MIN = 1 << 8
+
+#: four-step evaluation strategy: "split4" = four n×n real matmuls per
+#: complex DFT stage; "block" = one 2n×2n block matmul per stage (same
+#: FLOPs, bigger MXU tiles). Numerics differ by ~1 ulp accumulation
+#: order; decisions downstream are unaffected (golden-tested).
+FOUR_STEP_ROUTE = "split4"
 
 
 def _stockham(re, im, n: int, sign: float):
@@ -156,6 +208,8 @@ def _stockham(re, im, n: int, sign: float):
 
 def _fft_core(re, im, n: int, sign: float):
     if FOUR_STEP_MIN <= n <= FOUR_STEP_MAX:
+        if FOUR_STEP_ROUTE == "block":
+            return _four_step_block(re, im, n, sign)
         return _four_step(re, im, n, sign)
     return _stockham(re, im, n, sign)
 
@@ -173,7 +227,10 @@ def fft_real_ri(x):
     consumer is the Doppler correlation's FFT of the power spectrum)."""
     n = x.shape[-1]
     if FOUR_STEP_MIN <= n <= FOUR_STEP_MAX:
-        re, im = _four_step(x, None, n, -1.0)
+        if FOUR_STEP_ROUTE == "block":
+            re, im = _four_step_block(x, None, n, -1.0)
+        else:
+            re, im = _four_step(x, None, n, -1.0)
     else:
         re, im = _stockham(x, jnp.zeros_like(x), n, -1.0)
     return jnp.stack([re, im], axis=-2)
@@ -198,6 +255,8 @@ def ifft_unnorm_power_ri(x):
     n = x.shape[-1]
     re, im = x[..., 0, :], -x[..., 1, :]
     if FOUR_STEP_MIN <= n <= FOUR_STEP_MAX:
+        if FOUR_STEP_ROUTE == "block":
+            return _four_step_block(re, im, n, -1.0, power_only=True)
         n1, n2, (w1r, w1i), (tr, ti), (w2r, w2i) = _four_step_consts(n, -1.0)
         batch = re.shape[:-1]
         xr = re.reshape(batch + (n1, n2))

@@ -106,6 +106,85 @@ def find_code_rate_and_phase(P2: jnp.ndarray, idx_lo: int, idx_hi: int, Nfft: in
     return spSym, codeOffset, val
 
 
+def _window_scan_tree(V, payload, W):
+    """Log-shift elementwise max/argmax tree (two-cover for non-pow2 W)."""
+    M = V.shape[0]
+
+    def shift_left(arrs, n):
+        out = []
+        for a, f in zip(arrs, (-1.0, 0.0)):
+            pad = jnp.full((M, n), f, a.dtype)
+            out.append(jnp.concatenate([a[:, n:], pad], axis=1))
+        return out
+
+    def combine(arrs, shifted):
+        right = shifted[0] > arrs[0]  # strict: ties keep the earlier index
+        return [jnp.where(right, s, a) for a, s in zip(arrs, shifted)]
+
+    arrs = [V, payload]
+    span = 1
+    while span * 2 <= W:
+        arrs = combine(arrs, shift_left(arrs, span))
+        span *= 2
+    if W - span > 0:  # two-cover for non-power-of-two windows
+        arrs = combine(arrs, shift_left(arrs, W - span))
+    return arrs[0], arrs[1]
+
+
+def _window_scan_vanherk(V, payload, W):
+    """van Herk / Gil-Werman window max: a block prefix scan + a block
+    suffix scan + one combine — ~2(W-1)/W + 1 array passes total,
+    independent of W, vs the tree's ~2·ceil(log2 W) full passes. Scan
+    steps touch (rows, nBlocks) slices, so the whole thing is ~3 HBM
+    passes. Tie-break is kept bit-identical to the tree (earliest index
+    wins): scans replace their accumulator only on strictly-greater,
+    and the combine prefers the suffix (earlier) segment on ties.
+    """
+    M, L = V.shape
+    nb = -(-(L + W - 1) // W)
+    padn = nb * W - L
+    Vp = jnp.concatenate([V, jnp.full((M, padn), -1.0, V.dtype)],
+                         axis=1).reshape(M, nb, W)
+    Pp = jnp.concatenate([payload, jnp.zeros((M, padn), payload.dtype)],
+                         axis=1).reshape(M, nb, W)
+
+    pv, pp = Vp[..., 0], Pp[..., 0]
+    prefs = [(pv, pp)]
+    for i in range(1, W):
+        nv, np_ = Vp[..., i], Pp[..., i]
+        take = nv > pv  # strictly greater: earlier index wins ties
+        pv = jnp.where(take, nv, pv)
+        pp = jnp.where(take, np_, pp)
+        prefs.append((pv, pp))
+    pref_v = jnp.stack([a for a, _ in prefs], axis=-1).reshape(M, nb * W)
+    pref_p = jnp.stack([b for _, b in prefs], axis=-1).reshape(M, nb * W)
+
+    sv, sp = Vp[..., W - 1], Pp[..., W - 1]
+    sufs = [(sv, sp)]
+    for i in range(W - 2, -1, -1):
+        cv, cp = Vp[..., i], Pp[..., i]
+        keep = sv > cv  # the (earlier) current element wins ties
+        sv = jnp.where(keep, sv, cv)
+        sp = jnp.where(keep, sp, cp)
+        sufs.append((sv, sp))
+    sufs.reverse()
+    suf_v = jnp.stack([a for a, _ in sufs], axis=-1).reshape(M, nb * W)
+    suf_p = jnp.stack([b for _, b in sufs], axis=-1).reshape(M, nb * W)
+
+    # window j = max(suffix-of-block at j, prefix at j+W-1); the suffix
+    # segment is earlier, so it wins ties
+    pv2, pp2 = pref_v[:, W - 1:], pref_p[:, W - 1:]
+    right = pv2[:, :L] > suf_v[:, :L]
+    return (jnp.where(right, pv2[:, :L], suf_v[:, :L]),
+            jnp.where(right, pp2[:, :L], suf_p[:, :L]))
+
+
+_WINDOW_SCANS = {"tree": _window_scan_tree, "vanherk": _window_scan_vanherk}
+#: strategy for the per-position window max/argmax (see functions above);
+#: both are bit-identical (exactness-tested), chosen by measurement
+WINDOW_SCAN_ROUTE = "tree"
+
+
 def sliding_window_argmax(P2: jnp.ndarray, W: int, extras=(),
                           extra_bounds=(), packed=False):
     """Per-position window max/argmax: V[:, j] = max P2[:, j:j+W),
@@ -139,31 +218,13 @@ def sliding_window_argmax(P2: jnp.ndarray, W: int, extras=(),
     if (N + W) * prod_b >= 1 << 24:
         raise ValueError("payload exceeds f32-exact range; shrink bounds")
 
-    def shift_left(arrs, n):
-        out = []
-        for a, f in zip(arrs, (-1.0, 0.0)):
-            pad = jnp.full((M, n), f, a.dtype)
-            out.append(jnp.concatenate([a[:, n:], pad], axis=1))
-        return out
-
-    def combine(arrs, shifted):
-        right = shifted[0] > arrs[0]  # strict: ties keep the earlier index
-        return [jnp.where(right, s, a) for a, s in zip(arrs, shifted)]
-
     V = jnp.concatenate([P2, jnp.full((M, W), -1.0, P2.dtype)], axis=1)
     pay = jnp.arange(N + W, dtype=jnp.int32)
     for e, b in zip(extras, extra_bounds):
         pay = pay * jnp.int32(b) + jnp.concatenate(
             [e.astype(jnp.int32), jnp.zeros((W,), jnp.int32)])
     payload = jnp.broadcast_to(pay.astype(jnp.float32)[None, :], V.shape)
-    arrs = [V, payload]
-    span = 1
-    while span * 2 <= W:
-        arrs = combine(arrs, shift_left(arrs, span))
-        span *= 2
-    if W - span > 0:  # two-cover for non-power-of-two windows
-        arrs = combine(arrs, shift_left(arrs, W - span))
-    V, payload = arrs
+    V, payload = _WINDOW_SCANS[WINDOW_SCAN_ROUTE](V, payload, W)
     if packed:
         return V, payload, prod_b
     p = payload.astype(jnp.int32)

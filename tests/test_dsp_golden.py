@@ -160,7 +160,12 @@ def test_sum_all_masks_vs_per_mask(fsk_block):
     assert abs(idx_sum - idx_pm) < 2.0
 
 
-def test_sliding_window_argmax_packed_payload_exact():
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("route", ["tree", "vanherk"])
+@_pytest.mark.parametrize("W", [1, 4, 7])
+def test_sliding_window_argmax_packed_payload_exact(route, W):
     """The f32-packed (index, extras) payload that rides the window tree
     must decode bit-exactly at the LARGEST shipped shape: STX Nfft 2^17
     with the clip flag riding along, where the payload spans
@@ -168,17 +173,23 @@ def test_sliding_window_argmax_packed_payload_exact():
     range, which this test pins against a brute-force numpy window scan."""
     from numpy.lib.stride_tricks import sliding_window_view
 
+    import pycusdr_tpu.ops.demod_kernels as dk
     from pycusdr_tpu.ops.demod_kernels import sliding_window_argmax
 
-    N, W, M = 1 << 17, 7, 8
+    old_route = dk.WINDOW_SCAN_ROUTE
+    dk.WINDOW_SCAN_ROUTE = route
+    N, M = 1 << 17, 8
     rng = np.random.RandomState(3)
     # many exact ties (quantized values) to exercise the earliest-wins rule
     v = np.round(rng.rand(N).astype(np.float32) * 64) / 8
     m_star = rng.randint(0, M, N).astype(np.int32)
     clip = (rng.rand(N) > 0.9).astype(np.int32)
 
-    V, I, Msel, Csel = sliding_window_argmax(
-        v[None, :], W, (m_star, clip), extra_bounds=(M, 2))
+    try:
+        V, I, Msel, Csel = sliding_window_argmax(
+            v[None, :], W, (m_star, clip), extra_bounds=(M, 2))
+    finally:
+        dk.WINDOW_SCAN_ROUTE = old_route
     V, I, Msel, Csel = (np.asarray(a)[0] for a in (V, I, Msel, Csel))
 
     win = sliding_window_view(np.concatenate([v, np.full(W, -1.0, np.float32)]),
