@@ -32,16 +32,30 @@ import time
 import numpy as np
 
 
-def _measure(make_bench, repeats=3):
-    """Compile, warm, then best-of-N timed host fetches."""
-    bench = make_bench()
-    float(bench())  # compile + warm
-    best = np.inf
+def _measure_paired(bench1, bench2, T, repeats=5):
+    """Per-iteration seconds from a paired T vs 2T chain difference.
+
+    A single timed fetch includes the tunnel's ~36 ms dispatch+fetch
+    round trip; the back-to-back difference cancels it (both fetches
+    still prove device execution). Median over repeats rejects the
+    tunnel's ~3x load variance.
+    """
+    float(bench1())  # compile + warm
+    float(bench2())
+    deltas = []
+    last2 = np.inf
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(bench())
-        best = min(best, time.perf_counter() - t0)
-    return best
+        float(bench1())
+        t1 = time.perf_counter()
+        float(bench2())
+        t2 = time.perf_counter()
+        deltas.append((t2 - t1) - (t1 - t0))
+        last2 = min(last2, t2 - t1)
+    per_iter = float(np.median(deltas)) / T
+    if per_iter <= 0:  # load spike mid-pair; fall back to the 2T chain
+        per_iter = last2 / (2 * T)
+    return per_iter
 
 
 def stage_seconds(fn, args, B, T=10, repeats=3):
@@ -67,57 +81,70 @@ def stage_seconds(fn, args, B, T=10, repeats=3):
     bat = [jax.device_put(tile(a)) for a in args]
     vf = jax.vmap(fn)
 
-    @jax.jit
-    def bench_fn(*bat):
-        def body(c, _):
-            eps = c * jnp.float32(1e-30)
-            pert = [b + eps if jnp.issubdtype(b.dtype, jnp.floating) else b
-                    for b in bat]
-            out = vf(*pert)
-            return c + out.sum() * jnp.float32(1e-30), None
+    def make(Tn):
+        @jax.jit
+        def bench_fn(*bat):
+            def body(c, _):
+                eps = c * jnp.float32(1e-30)
+                pert = [b + eps if jnp.issubdtype(b.dtype, jnp.floating) else b
+                        for b in bat]
+                out = vf(*pert)
+                return c + out.sum() * jnp.float32(1e-30), None
 
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=T)
-        return c
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=Tn)
+            return c
 
-    dt = _measure(lambda: (lambda: bench_fn(*bat)), repeats)
-    return dt / T
+        return bench_fn
+
+    f1, f2 = make(T), make(2 * T)
+    return _measure_paired(lambda: f1(*bat), lambda: f2(*bat), T,
+                           repeats=max(repeats, 5))
 
 
-def matmul_roof(dtype, n=4096, T=20, repeats=3):
-    """Measured chained-matmul TFLOPS on this chip (scan + fetch)."""
+def matmul_roof(dtype, n=4096, T=20, repeats=5):
+    """Measured chained-matmul TFLOPS on this chip (paired scan + fetch)."""
     import jax
     import jax.numpy as jnp
 
     a = jax.device_put(np.random.RandomState(0).randn(n, n).astype(dtype))
 
-    @jax.jit
-    def bench_fn(a):
-        def body(c, _):
-            c = jnp.dot(c, a, preferred_element_type=c.dtype) * jnp.asarray(1e-2, c.dtype)
-            return c, None
+    def make(Tn):
+        @jax.jit
+        def bench_fn(a):
+            def body(c, _):
+                c = jnp.dot(c, a, preferred_element_type=c.dtype) * jnp.asarray(1e-2, c.dtype)
+                return c, None
 
-        c, _ = jax.lax.scan(body, a, None, length=T)
-        return jnp.float32(c[0, 0])
+            c, _ = jax.lax.scan(body, a, None, length=Tn)
+            return jnp.float32(c[0, 0])
 
-    dt = _measure(lambda: (lambda: bench_fn(a)), repeats)
-    return 2.0 * n**3 * T / dt / 1e12
+        return bench_fn
+
+    f1, f2 = make(T), make(2 * T)
+    per_iter = _measure_paired(lambda: f1(a), lambda: f2(a), T, repeats)
+    return 2.0 * n**3 / per_iter / 1e12
 
 
-def scan_floor(T=10, repeats=3):
-    """Per-iteration cost of an empty scan body (backend fixed overhead)."""
+def scan_floor(T=10, repeats=5):
+    """Per-iteration cost of an empty scan body (backend fixed overhead,
+    paired measurement so the fetch RTT is excluded)."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def bench_fn(x):
-        def body(c, _):
-            return c * jnp.float32(1.0000001) + x, None
+    def make(Tn):
+        @jax.jit
+        def bench_fn(x):
+            def body(c, _):
+                return c * jnp.float32(1.0000001) + x, None
 
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=T)
-        return c
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=Tn)
+            return c
 
-    dt = _measure(lambda: (lambda: bench_fn(jnp.float32(1.0))), repeats)
-    return dt / T
+        return bench_fn
+
+    f1, f2 = make(T), make(2 * T)
+    x = jnp.float32(1.0)
+    return _measure_paired(lambda: f1(x), lambda: f2(x), T, repeats)
 
 
 def dispatch_rtt(repeats=5):
@@ -154,8 +181,12 @@ def stage_flops(spec):
     W = spec.windowWidth
     f = {}
     f["fft_fwd"] = fourstep_flops(N) + 3 * N  # + |S|^2
-    # corr route: FFT(P) + M pointwise cmul + M inverse FFTs + gather
-    f["dopp_energy"] = (1 + M) * fourstep_flops(N) + 6 * M * N
+    # corr_dft route: real-input FFT(P) (stage 1 halved) + M pointwise
+    # cmul + ONE pruned-output (M,N)x(N,D) real-part contraction
+    f["dopp_energy"] = (12.0 * N * np.sqrt(N) + 6 * N) + 6 * M * N \
+        + 4.0 * M * N * D
+    # the superseded all-N-lags route (comparison row, not in "full")
+    f["dopp_energy_all_lags"] = (1 + M) * fourstep_flops(N) + 6 * M * N
     f["dopp_est"] = 4.0 * D * M
     # shift + M cmul + M fused-power inverse FFTs
     f["mask_bank"] = 6 * M * N + M * (fourstep_flops(N) + 3 * N)
@@ -164,7 +195,7 @@ def stage_flops(spec):
     # log-shift max/argmax tree over (M, N) + slot selection
     f["centres"] = 3.0 * M * N * np.ceil(np.log2(max(W, 2))) + 6 * N
     f["bits"] = 2.0 * spec.numSymMax * max(M, 2)
-    f["full"] = sum(v for k, v in f.items())
+    f["full"] = sum(v for k, v in f.items() if k != "dopp_energy_all_lags")
     return f
 
 
@@ -186,13 +217,16 @@ def build_stage_fns(spec):
     )
     from pycusdr_tpu.ops.doppler_search import (
         doppler_energy_corr,
+        doppler_energy_corr_dft,
         find_doppler_estimate,
+        make_corr_dft_F,
         make_qf_ri,
     )
 
     N, M, D = spec.Nfft, spec.num_masks, spec.D
     assert D >= CORR_ROUTE_MIN_D, "profile assumes the corr doppler route"
     qf_ri = jnp.asarray(make_qf_ri(spec.masks_f))
+    corr_F = jnp.asarray(make_corr_dft_F(spec.Nfft, spec.dopp_shifts))
     masks_ri = jnp.asarray(c2ri(spec.masks_f))
     dopp_shifts = jnp.asarray(spec.dopp_shifts.astype(np.int32))
 
@@ -210,6 +244,12 @@ def build_stage_fns(spec):
         return (S[0] ** 2 + S[1] ** 2).sum()
 
     def s_dopp(P):
+        E = doppler_energy_corr_dft(P, qf_ri, corr_F)
+        return E.sum()
+
+    def s_dopp_all_lags(P):
+        # the superseded all-N-lags FFT-correlation route, timed for
+        # comparison (not what dsp/block.py dispatches)
         E = doppler_energy_corr(P, qf_ri, dopp_shifts, jnp.int32(0))
         return E.sum()
 
@@ -273,6 +313,7 @@ def build_stage_fns(spec):
     stages = {
         "fft_fwd": (s_fft, [sig]),
         "dopp_energy": (s_dopp, [P]),
+        "dopp_energy_all_lags": (s_dopp_all_lags, [P]),
         "dopp_est": (s_est, [E0]),
         "mask_bank": (s_bank, [S]),
         "timing": (s_timing, [P2]),
@@ -305,8 +346,9 @@ def build_prefix_fns(spec, latency_mode=False):
         find_code_rate_and_phase,
     )
     from pycusdr_tpu.ops.doppler_search import (
-        doppler_energy_corr,
+        doppler_energy_corr_dft,
         find_doppler_estimate,
+        make_corr_dft_F,
         make_qf_ri,
     )
 
@@ -314,6 +356,7 @@ def build_prefix_fns(spec, latency_mode=False):
     assert D >= CORR_ROUTE_MIN_D and spec.disable_peak_thresholding \
         and spec.bitLUT is not None
     qf_ri = jnp.asarray(make_qf_ri(spec.masks_f))
+    corr_F = jnp.asarray(make_corr_dft_F(N, spec.dopp_shifts))
     masks_ri = jnp.asarray(c2ri(spec.masks_f))
     dopp_shifts = jnp.asarray(spec.dopp_shifts.astype(np.int32))
     hz_lut = jnp.asarray(spec.dopp_hz_lut.astype(np.float32))
@@ -328,7 +371,7 @@ def build_prefix_fns(spec, latency_mode=False):
             P = S[0] ** 2 + S[1] ** 2
             if stop == "fft":
                 return P.sum()
-            E = doppler_energy_corr(P, qf_ri, dopp_shifts, jnp.int32(0))
+            E = doppler_energy_corr_dft(P, qf_ri, corr_F)
             if stop == "dopp":
                 return E.sum() + P.sum() * 0
             dopp_idx, quality_db = find_doppler_estimate(
@@ -384,6 +427,22 @@ def build_prefix_fns(spec, latency_mode=False):
     return prefixes
 
 
+#: prefix name -> stages whose FLOPs are inside that cumulative prefix
+_PREFIX_STAGES = {
+    "pre_fft": ["fft_fwd"],
+    "pre_dopp": ["fft_fwd", "dopp_energy"],
+    "pre_est": ["fft_fwd", "dopp_energy", "dopp_est"],
+    "pre_snr": ["fft_fwd", "dopp_energy", "dopp_est"],
+    "pre_bank": ["fft_fwd", "dopp_energy", "dopp_est", "mask_bank"],
+    "pre_timing": ["fft_fwd", "dopp_energy", "dopp_est", "mask_bank",
+                   "timing"],
+    "pre_centres": ["fft_fwd", "dopp_energy", "dopp_est", "mask_bank",
+                    "timing", "centres"],
+    "pre_bits": ["fft_fwd", "dopp_energy", "dopp_est", "mask_bank",
+                 "timing", "centres", "bits"],
+}
+
+
 def run_profile(batches=(1, 64), T=10, spec=None, mode="stages",
                 latency_mode=False):
     import jax
@@ -394,6 +453,13 @@ def run_profile(batches=(1, 64), T=10, spec=None, mode="stages",
         spec = flagship_spec()
 
     flops = stage_flops(spec)
+    if mode == "prefix":
+        # cumulative-FLOP accounting so each prefix row's gflops/tflops
+        # matches the cumulative time it reports
+        flops = dict(flops, **{
+            pre: sum(flops[s] for s in parts)
+            for pre, parts in _PREFIX_STAGES.items()
+        })
     stages = (build_prefix_fns(spec, latency_mode) if mode == "prefix"
               else build_stage_fns(spec))
     eff = spec.Nfft - spec.sigOverlap
@@ -412,9 +478,11 @@ def run_profile(batches=(1, 64), T=10, spec=None, mode="stages",
     }
 
     for B in batches:
-        # small batches amortize the tunnel's ~30 ms per-fetch RTT over
-        # a longer chain (RTT is latency, not throughput; see bench.py)
-        T_b = max(T, 200 // B)
+        # small batches lengthen the chain so the paired difference has
+        # signal over the fetch-RTT jitter — but the 2T graph must stay
+        # <= ~200 scan steps: longer chains crash the tunnel's remote
+        # compile (observed at 400)
+        T_b = max(T, 100 // B)
         rows = {}
         for name, (fn, args) in stages.items():
             sec = stage_seconds(fn, args, B, T=T_b)

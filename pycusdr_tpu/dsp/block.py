@@ -109,6 +109,8 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False,
                 E = doppler_energy_corr_dft(
                     P, jnp.asarray(qf_ri), jnp.asarray(corr_F),
                     None if static_zero_centre else centre_shift)
+            elif static_zero_centre:
+                E = doppler_energy_matmul(P, Q_T, shift_idx)
             else:
                 # narrow grids: rotate the spectrum by the tracking
                 # centre so the static gather probes (k + s_d + centre);

@@ -197,10 +197,10 @@ def sliding_window_argmax(P2: jnp.ndarray, W: int, extras=(),
     the tree as ONE f32 payload ``(I*b0 + e0)*b1 + e1 ...`` — exact
     while ``(N+W)*prod(bounds) < 2^24`` — halving the tree's HBM
     traffic vs carrying separate arrays (the tree is bandwidth-bound:
-    measured ~40% faster at B=64 on v5e with one extra). Callers pass
-    ``extra_bounds`` (exclusive upper bounds, static ints); without
-    them the bound defaults assume small nonneg ints and fall back to
-    unpacked carries if the product overflows f32 exactness.
+    measured ~40% faster at B=64 on v5e with one extra). Callers MUST
+    pass ``extra_bounds`` (one static exclusive upper bound per extra,
+    values assumed nonnegative ints); a missing bound or a bounds
+    product that leaves f32's exact-integer range raises ValueError.
 
     Returns (V, I, *extras_selected), each (rows, N + W) with the last
     W columns padded (-1 for values, 0 for indices/extras) — or, with

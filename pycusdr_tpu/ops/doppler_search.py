@@ -63,7 +63,7 @@ def doppler_energy_corr(P: jnp.ndarray, Qf_ri: jnp.ndarray, shift_idx_cols: jnp.
     """Doppler energy via circular FFT correlation at ALL N lags.
 
     Superseded in the default block graph by ``doppler_energy_corr_dft``
-    (same math, output pruned to the D grid lags — ~9x fewer FLOPs);
+    (same math, output pruned to the D grid lags — ~7x fewer FLOPs);
     kept as the evaluation to use when the full lag curve is wanted
     (diagnostics, very large D) and as the independent cross-check the
     equivalence tests exercise.
@@ -111,16 +111,19 @@ def doppler_energy_corr_dft(P: jnp.ndarray, Qf_ri: jnp.ndarray, F_ri: jnp.ndarra
     (M four-step inverse FFTs) and then reads only D of them. Here the
     inverse transform is evaluated ONLY at the D grid lags as one dense
     (M, N) x (N, D) MXU contraction against the precomputed phasor
-    matrix ``F`` — ~9x fewer FLOPs at UHF defaults (M=8, D=64) and no
-    column gather. Only the real part is computed (the correlation of
-    two power spectra is real; the imaginary row was discarded anyway).
+    matrix ``F`` — ~7x fewer FLOPs at UHF defaults (M=8, D=64, by the
+    executed-FLOPs accounting in bench/profile_stages.stage_flops) and
+    no column gather. Only the real part is computed (the correlation
+    of two power spectra is real; the imag row was discarded anyway).
 
     A runtime grid recentre by ``centre_shift`` bins multiplies the
     frequency-domain product by the phasor exp(+2πi k c / N) before the
     static contraction (F itself never changes, so no recompile). The
     phasor's angle index (k*c) mod N is computed with the split
     k = 256*k_hi + k_lo so no int32 product overflows (k*c alone would
-    reach 2^33 at STX shapes).
+    reach 2^33 at STX shapes; the split caps products at N^2/256,
+    int32-safe for N <= 2^19 — guarded below, and the four-step FFT
+    ceiling is 2^18 anyway).
 
     P: (N,) f32 power spectrum; Qf_ri: (M, 2, N) from ``make_qf_ri``;
     F_ri: (2, N, D) from ``make_corr_dft_F``. Returns (D, M) f32,
@@ -132,6 +135,9 @@ def doppler_energy_corr_dft(P: jnp.ndarray, Qf_ri: jnp.ndarray, F_ri: jnp.ndarra
     Pf = fft_real_ri(P)
     mr, mi = cmul(Pf[0][None, :], Pf[1][None, :], Qf_ri[:, 0], Qf_ri[:, 1])
     if centre_shift is not None:
+        if N > 1 << 19:
+            raise ValueError("split-k phasor index overflows int32 beyond "
+                             "N=2^19; widen the split for larger Nfft")
         c = jnp.mod(jnp.asarray(centre_shift, jnp.int32), N)
         k = jnp.arange(N, dtype=jnp.int32)
         k_hi, k_lo = k // 256, k % 256

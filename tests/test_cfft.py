@@ -90,6 +90,33 @@ def test_both_paths_agree():
     assert FOUR_STEP_MIN <= n <= FOUR_STEP_MAX
 
 
+@pytest.mark.parametrize("n", [256, 4096, 65536])
+def test_block_four_step_route(n):
+    """The one-block-matmul-per-stage four-step (FOUR_STEP_ROUTE='block')
+    matches numpy for the forward, real-input forward, and power-fused
+    inverse transforms."""
+    import pycusdr_tpu.ops.cfft as cf
+
+    rng = np.random.RandomState(n + 9)
+    x = (rng.randn(2, n) + 1j * rng.randn(2, n)).astype(np.complex64)
+    old = cf.FOUR_STEP_ROUTE
+    cf.FOUR_STEP_ROUTE = "block"
+    try:
+        X = ri2c(np.asarray(cf.fft_ri(c2ri(x))))
+        ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+        assert np.max(np.abs(X - ref)) / np.max(np.abs(ref)) < 2e-6
+
+        R = ri2c(np.asarray(cf.fft_real_ri(np.asarray(x.real, np.float32))))
+        rref = np.fft.fft(x.real.astype(np.float64), axis=-1)
+        assert np.max(np.abs(R - rref)) / np.max(np.abs(rref)) < 2e-6
+
+        P = np.asarray(cf.ifft_unnorm_power_ri(c2ri(x)))
+        pref = np.abs(np.fft.ifft(x.astype(np.complex128), axis=-1) * n) ** 2
+        assert np.max(np.abs(P - pref)) / pref.max() < 4e-6
+    finally:
+        cf.FOUR_STEP_ROUTE = old
+
+
 def test_batched_and_multidim():
     rng = np.random.RandomState(8)
     x = (rng.randn(3, 5, 1024) + 1j * rng.randn(3, 5, 1024)).astype(np.complex64)
