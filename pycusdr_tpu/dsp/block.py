@@ -32,6 +32,7 @@ from pycusdr_tpu.ops.demod_kernels import (
     threshold_input,
 )
 from pycusdr_tpu.ops.doppler_search import (
+    doppler_energy_corr,
     doppler_energy_corr_dft,
     doppler_energy_matmul,
     find_doppler_estimate,
@@ -52,7 +53,7 @@ TRUST_CLIPPED = -2
 
 
 def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False,
-                        latency_mode: bool = False):
+                        latency_mode: bool = False, dopp_route: str = None):
     """Return ``process_block(samples_ri) -> dict`` jitted for ``spec``.
 
     ``samples_ri``: (2, Nfft) float32 split complex block. All
@@ -63,15 +64,26 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False,
     instead of a gather (~2x faster unbatched, measured; see
     ``ops.demod_kernels._select_rows_onehot``). Leave False for graphs
     that will be vmapped over a batch, where the gather wins.
+
+    ``dopp_route``: override the wide-grid Doppler evaluation —
+    "corr_dft" (pruned-output DFT contraction, default for D >=
+    CORR_ROUTE_MIN_D) or "corr" (all-N-lags FFT correlation + column
+    gather; smaller constant footprint, for benchmarking route choices).
+    Narrow grids always take the shifted-spectrum matmul.
     """
     select_route = "onehot" if latency_mode else "gather"
+    wide = spec.D >= CORR_ROUTE_MIN_D
+    if dopp_route is None:
+        dopp_route = "corr_dft"
+    elif dopp_route not in ("corr_dft", "corr"):
+        raise ValueError(f"unknown dopp_route {dopp_route!r}")
     N = spec.Nfft
     masks_ri = c2ri(spec.masks_f)  # (M, 2, N) f32
     Q_T = (np.abs(spec.masks_f.astype(np.complex64)) ** 2).T.astype(np.float32)  # (N, M)
     shift_idx = make_shift_gather_indices(N, spec.dopp_shifts)
-    qf_ri = make_qf_ri(spec.masks_f) if spec.D >= CORR_ROUTE_MIN_D else None
+    qf_ri = make_qf_ri(spec.masks_f) if wide else None
     corr_F = (make_corr_dft_F(N, spec.dopp_shifts)
-              if spec.D >= CORR_ROUTE_MIN_D else None)
+              if wide and dopp_route == "corr_dft" else None)
     dopp_shifts = spec.dopp_shifts.astype(np.int32)
     hz_lut = spec.dopp_hz_lut.astype(np.float32)
     D = spec.D
@@ -105,10 +117,13 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False,
 
         if spec.doppler_search:
             absS = jnp.sqrt(P)
-            if D >= CORR_ROUTE_MIN_D:
+            if D >= CORR_ROUTE_MIN_D and dopp_route == "corr_dft":
                 E = doppler_energy_corr_dft(
                     P, jnp.asarray(qf_ri), jnp.asarray(corr_F),
                     None if static_zero_centre else centre_shift)
+            elif D >= CORR_ROUTE_MIN_D:
+                E = doppler_energy_corr(P, jnp.asarray(qf_ri),
+                                        jnp.asarray(dopp_shifts), centre_shift)
             elif static_zero_centre:
                 E = doppler_energy_matmul(P, Q_T, shift_idx)
             else:
