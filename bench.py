@@ -42,38 +42,52 @@ def time_fn(fn, n_iter, *args):
     return (time.perf_counter() - t0) / n_iter, out
 
 
-def sustained_msps(core, spec, B, T=10, repeats=3):
-    """Honest sustained rate: T scan-chained batches per fetch."""
+def sustained_msps(core, spec, B, T=10, repeats=5):
+    """Honest sustained rate: T scan-chained batches per fetch, with the
+    per-fetch overhead removed by a paired T vs 2T difference.
+
+    A single timed fetch includes the tunnel's ~36 ms dispatch+fetch
+    round trip, which inflates per-block time by RTT/(T*B). Timing a
+    T-chain and a 2T-chain back to back and taking their difference
+    cancels that constant (both are real host fetches, so the
+    measurement still proves device execution); the median over repeats
+    rejects the tunnel's ~3x load variance.
+    """
     import jax
     import jax.numpy as jnp
 
     vc = jax.vmap(core)
     eff = spec.Nfft - spec.sigOverlap
 
-    @jax.jit
-    def bench_fn(batch):
-        def body(carry, _):
-            out = vc(batch + carry * jnp.float32(1e-30))
-            # consume EVERY output family: a probe that only reads nBits
-            # (a function of spSym alone) lets XLA dead-code-eliminate
-            # the entire symbol-detection tree + bit extraction, and the
-            # "full chain" rate silently becomes a partial-chain rate
-            used = (
-                out["nBits"].sum().astype(jnp.float32)
-                + out["bits"].sum().astype(jnp.float32)
-                + out["trust"].sum().astype(jnp.float32)
-                + out["symbols"].sum().astype(jnp.float32)
-                + out["centres"].sum().astype(jnp.float32)
-                + out["mags"].sum()
-                + out["doppler_hz"].sum()
-                # noise blocks report SNR -inf by design; keep the carry finite
-                + jnp.nan_to_num(out["snr_db"], neginf=-1.0).sum()
-            )
-            c2 = carry + used * jnp.float32(1e-30)
-            return c2, None
+    def make(Tn):
+        @jax.jit
+        def bench_fn(batch):
+            def body(carry, _):
+                out = vc(batch + carry * jnp.float32(1e-30))
+                # consume EVERY output family: a probe that only reads
+                # nBits (a function of spSym alone) lets XLA dead-code-
+                # eliminate the entire symbol-detection tree + bit
+                # extraction, and the "full chain" rate silently becomes
+                # a partial-chain rate
+                used = (
+                    out["nBits"].sum().astype(jnp.float32)
+                    + out["bits"].sum().astype(jnp.float32)
+                    + out["trust"].sum().astype(jnp.float32)
+                    + out["symbols"].sum().astype(jnp.float32)
+                    + out["centres"].sum().astype(jnp.float32)
+                    + out["mags"].sum()
+                    + out["doppler_hz"].sum()
+                    # noise blocks report SNR -inf by design; keep the
+                    # carry finite
+                    + jnp.nan_to_num(out["snr_db"], neginf=-1.0).sum()
+                )
+                c2 = carry + used * jnp.float32(1e-30)
+                return c2, None
 
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=T)
-        return c
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=Tn)
+            return c
+
+        return bench_fn
 
     rng = np.random.RandomState(1)
     from pycusdr_tpu.ops.cfft import c2ri
@@ -82,16 +96,52 @@ def sustained_msps(core, spec, B, T=10, repeats=3):
         rng.randn(B, spec.Nfft) + 1j * rng.randn(B, spec.Nfft)
     ).astype(np.complex64)
     d = jax.device_put(np.stack([c2ri(b) for b in blocks]))
-    float(bench_fn(d))  # compile + warm
-    best = np.inf
+    f1, f2 = make(T), make(2 * T)
+    float(f1(d))  # compile + warm
+    float(f2(d))
+    deltas = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(bench_fn(d))  # fetch = proof of execution
-        best = min(best, time.perf_counter() - t0)
-    return B * eff * T / best / 1e6
+        float(f1(d))  # fetch = proof of execution
+        t1 = time.perf_counter()
+        float(f2(d))
+        t2 = time.perf_counter()
+        deltas.append((t2 - t1) - (t1 - t0))
+    per_iter = float(np.median(deltas)) / T
+    if per_iter <= 0:  # pathological load spike; fall back to the 2T chain
+        per_iter = (t2 - t1) / (2 * T)
+    return B * eff / per_iter / 1e6
+
+
+def wait_for_backend(total_s=600, probe_s=60):
+    """Fail fast (exit 1) instead of hanging forever when the tunnelled
+    backend is down: jax backend *init* blocks indefinitely during
+    tunnel outages (observed 2026-08-17), so probe it in a subprocess
+    with a hard timeout, retrying up to ``total_s`` seconds."""
+    import subprocess
+    import sys
+
+    deadline = time.monotonic() + total_s
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jax.jit(lambda x: (x*2).sum())(jnp.ones((4,4)))))"],
+                timeout=probe_s, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() > deadline:
+            print("bench.py: device backend unreachable (tunnel down?); "
+                  "refusing to hang", file=sys.stderr)
+            sys.exit(1)
+        time.sleep(20)
 
 
 def main():
+    wait_for_backend()
     from __graft_entry__ import flagship_spec
     from pycusdr_tpu.dsp.block import build_process_block
     from pycusdr_tpu.dsp.reference import demod_block_numpy
@@ -102,14 +152,16 @@ def main():
 
     # two batched shapes: 16 ~ a multi-antenna station, 64 ~ a
     # channelizer bank; B=1 (single streamed channel) uses a longer
-    # chain so the tunnel's ~30 ms per-fetch round trip (latency, not
-    # throughput — a streaming deployment pipelines dispatches) is
-    # amortized over 200 blocks ≈ 84 s of air time chained on device
+    # chain so the paired difference has signal over the fetch-RTT
+    # jitter (the RTT itself — latency, not throughput — cancels in
+    # the pairing; a streaming deployment pipelines dispatches)
     msps = max(sustained_msps(core, spec, B) for B in (16, 64))
     # B=1 runs the latency-mode graph — what the streaming single-channel
-    # path actually dispatches (one-hot row select instead of a gather)
+    # path actually dispatches (one-hot row select instead of a gather).
+    # T=100 keeps the paired 2T chain at 200 scan steps — the longest
+    # graph the tunnel's remote compile reliably accepts
     core_lat = build_process_block(spec, jit=False, latency_mode=True)
-    msps_b1 = sustained_msps(core_lat, spec, 1, T=200)
+    msps_b1 = sustained_msps(core_lat, spec, 1, T=100)
 
     # --- CPU reference (numpy transliteration of the reference chain) ---
     rng = np.random.RandomState(0)
