@@ -200,3 +200,23 @@ def test_sliding_window_argmax_packed_payload_exact(route, W):
     assert np.array_equal(I[:N], j)
     assert np.array_equal(Msel[:N], m_star[j])
     assert np.array_equal(Csel[:N], clip[j])
+
+
+def test_dopp_route_corr_matches_default(fsk_block):
+    """The all-lags correlation Doppler route (dopp_route='corr', the
+    benchmarking alternative) must make the same decisions as the
+    default pruned-DFT route on a real signal: same Doppler bin choice,
+    same symbols and bits (energies differ only in rounding)."""
+    spec, bits, sig = fsk_block
+    from pycusdr_tpu.ops.cfft import c2ri
+
+    a = build_process_block(spec)(c2ri(sig))
+    b = build_process_block(spec, dopp_route="corr")(c2ri(sig))
+    assert abs(float(a["dopp_idx"]) - float(b["dopp_idx"])) < 1e-3
+    assert int(a["shift"]) == int(b["shift"])
+    n = int(a["nSym"])
+    assert np.array_equal(np.asarray(a["symbols"])[:n],
+                          np.asarray(b["symbols"])[:n])
+    assert np.array_equal(np.asarray(a["bits"])[:n], np.asarray(b["bits"])[:n])
+    np.testing.assert_allclose(np.asarray(a["E"]), np.asarray(b["E"]),
+                               rtol=5e-4)
