@@ -96,48 +96,15 @@ def sustained_msps(core, spec, B, T=10, repeats=5):
         rng.randn(B, spec.Nfft) + 1j * rng.randn(B, spec.Nfft)
     ).astype(np.complex64)
     d = jax.device_put(np.stack([c2ri(b) for b in blocks]))
+    from pycusdr_tpu.bench.profile_stages import measure_paired
+
     f1, f2 = make(T), make(2 * T)
-    float(f1(d))  # compile + warm
-    float(f2(d))
-    deltas = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(f1(d))  # fetch = proof of execution
-        t1 = time.perf_counter()
-        float(f2(d))
-        t2 = time.perf_counter()
-        deltas.append((t2 - t1) - (t1 - t0))
-    per_iter = float(np.median(deltas)) / T
-    if per_iter <= 0:  # pathological load spike; fall back to the 2T chain
-        per_iter = (t2 - t1) / (2 * T)
+    per_iter = measure_paired(lambda: f1(d), lambda: f2(d), T,
+                              repeats=repeats)
     return B * eff / per_iter / 1e6
 
 
-def wait_for_backend(total_s=600, probe_s=60):
-    """Fail fast (exit 1) instead of hanging forever when the tunnelled
-    backend is down: jax backend *init* blocks indefinitely during
-    tunnel outages (observed 2026-08-17), so probe it in a subprocess
-    with a hard timeout, retrying up to ``total_s`` seconds."""
-    import subprocess
-    import sys
-
-    deadline = time.monotonic() + total_s
-    while True:
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, jax.numpy as jnp;"
-                 "print(float(jax.jit(lambda x: (x*2).sum())(jnp.ones((4,4)))))"],
-                timeout=probe_s, capture_output=True)
-            if r.returncode == 0:
-                return
-        except subprocess.TimeoutExpired:
-            pass
-        if time.monotonic() > deadline:
-            print("bench.py: device backend unreachable (tunnel down?); "
-                  "refusing to hang", file=sys.stderr)
-            sys.exit(1)
-        time.sleep(20)
+from pycusdr_tpu.utils.device_info import wait_for_backend  # noqa: E402
 
 
 def main():

@@ -32,7 +32,7 @@ import time
 import numpy as np
 
 
-def _measure_paired(bench1, bench2, T, repeats=5):
+def measure_paired(bench1, bench2, T, repeats=5):
     """Per-iteration seconds from a paired T vs 2T chain difference.
 
     A single timed fetch includes the tunnel's ~36 ms dispatch+fetch
@@ -97,7 +97,7 @@ def stage_seconds(fn, args, B, T=10, repeats=3):
         return bench_fn
 
     f1, f2 = make(T), make(2 * T)
-    return _measure_paired(lambda: f1(*bat), lambda: f2(*bat), T,
+    return measure_paired(lambda: f1(*bat), lambda: f2(*bat), T,
                            repeats=max(repeats, 5))
 
 
@@ -121,7 +121,7 @@ def matmul_roof(dtype, n=4096, T=20, repeats=5):
         return bench_fn
 
     f1, f2 = make(T), make(2 * T)
-    per_iter = _measure_paired(lambda: f1(a), lambda: f2(a), T, repeats)
+    per_iter = measure_paired(lambda: f1(a), lambda: f2(a), T, repeats)
     return 2.0 * n**3 / per_iter / 1e12
 
 
@@ -144,7 +144,7 @@ def scan_floor(T=10, repeats=5):
 
     f1, f2 = make(T), make(2 * T)
     x = jnp.float32(1.0)
-    return _measure_paired(lambda: f1(x), lambda: f2(x), T, repeats)
+    return measure_paired(lambda: f1(x), lambda: f2(x), T, repeats)
 
 
 def dispatch_rtt(repeats=5):

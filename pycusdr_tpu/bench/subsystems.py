@@ -89,11 +89,21 @@ def _s_curve_blocks(spec, n_blocks, f_max, t_mid, tau, snr_db=10.0, seed=3):
     return sig.reshape(n_blocks, N), truth
 
 
-def tracking_bench(spec=None, n_blocks: int = 48, track_bins: int = 16,
+def tracking_bench(spec=None, n_blocks: int = 400, track_bins: int = 16,
                    track_span_bins: int = 32, snr_db: float = 10.0,
                    time_graphs: bool = True, T: int = 50):
     """Drive a full simulated LEO pass through the search-and-track loop
-    on the current backend; optionally time acquire vs track graphs."""
+    on the current backend; optionally time acquire vs track graphs.
+
+    The S-curve's swing is sized by two physical constraints: stay well
+    inside the acquisition grid (<= 0.7 of its Hz span), and keep the
+    per-block Doppler slew followable by the narrow track grid (<= 0.4
+    of its half-span per block, so the ramp prediction holds the truth
+    inside the grid). Whichever binds is reported as
+    ``swing_fraction_of_grid`` — with the default 400-block pass and the
+    flagship envelope the slew constraint binds, exactly as in a real
+    pass (LEO slew is ~tens of Hz per 0.4 s block at UHF while the
+    acquisition grid spans tens of kHz)."""
     from pycusdr_tpu.models.tracking import TRACKING, DopplerTracker
     from pycusdr_tpu.ops.cfft import c2ri
 
@@ -106,10 +116,12 @@ def tracking_bench(spec=None, n_blocks: int = 48, track_bins: int = 16,
                              track_span_bins=track_span_bins,
                              snr_threshold_db=3.0, lost_limit=5)
     bin_hz = spec.sampleRate / spec.Nfft
-    # swing across most of the acquisition grid, closest approach mid-pass
-    f_max = 0.35 * spec.num_dopplers * bin_hz
+    grid_span_hz = float(spec.dopp_hz_lut.max() - spec.dopp_hz_lut.min())
+    tau = n_blocks / 6
+    slew_limit = 0.4 * (track_span_bins / 2) * bin_hz  # Hz per block
+    f_max = min(0.35 * grid_span_hz, slew_limit * tau)
     blocks, truth = _s_curve_blocks(spec, n_blocks, f_max,
-                                    t_mid=n_blocks / 2, tau=n_blocks / 6,
+                                    t_mid=n_blocks / 2, tau=tau,
                                     snr_db=snr_db)
     modes, est = [], []
     for b in blocks:
@@ -125,6 +137,8 @@ def tracking_bench(spec=None, n_blocks: int = 48, track_bins: int = 16,
     out = {
         "n_blocks": n_blocks,
         "doppler_swing_hz": round(2 * f_max, 1),
+        "swing_fraction_of_grid": round(2 * f_max / grid_span_hz, 4),
+        "max_slew_hz_per_block": round(f_max / tau, 2),
         "snr_db": snr_db,
         "first_lock_block": first,
         "lock_fraction_after_first": round(lock_frac, 3),
@@ -145,6 +159,8 @@ def tracking_bench(spec=None, n_blocks: int = 48, track_bins: int = 16,
                 + r["mags"].sum() + r["doppler_hz"] \
                 + jnp.nan_to_num(r["snr_db"], neginf=-1.0)
 
+        # the same single-block (latency-mode) graphs the tracker itself
+        # dispatches, rebuilt unjitted for the scan-chain timer
         acq = build_process_block(spec, jit=False, latency_mode=True)
         trk = build_process_block(tracker.track_spec, jit=False,
                                   latency_mode=True)
@@ -168,6 +184,10 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from pycusdr_tpu.utils.device_info import wait_for_backend
+
+        wait_for_backend()
 
     res = {
         "channelizer": channelizer_bench(),

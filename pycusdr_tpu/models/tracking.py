@@ -38,8 +38,12 @@ class DopplerTracker:
         self.spec = spec if spec is not None else build_spec(conf, protocol, radioName)
         self.track_spec = narrow_spec(self.spec, track_bins, track_span_bins)
 
-        self._acquire = build_process_block(self.spec, jit=jit)
-        self._track = build_process_block(self.track_spec, jit=jit)
+        # the loop dispatches one block at a time, so build the
+        # single-block (latency-mode) graph variant
+        self._acquire = build_process_block(self.spec, jit=jit,
+                                            latency_mode=True)
+        self._track = build_process_block(self.track_spec, jit=jit,
+                                          latency_mode=True)
 
         self.history = history
         self.snr_threshold_db = snr_threshold_db

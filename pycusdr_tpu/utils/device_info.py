@@ -36,3 +36,32 @@ def log_inventory():
     for info in device_inventory():
         log.info("device %s: %s (%s), HBM %s", info["id"], info["device_kind"],
                  info["platform"], info.get("hbm_bytes"))
+
+
+def wait_for_backend(total_s=600, probe_s=60):
+    """Fail fast (exit 1) instead of hanging forever when the tunnelled
+    device backend is down: jax backend *init* blocks indefinitely
+    during tunnel outages (observed 2026-08-17), so probe it in a
+    subprocess with a hard timeout, retrying up to ``total_s`` seconds.
+    Call this before any device work in a benchmark entry point."""
+    import subprocess
+    import sys
+    import time
+
+    deadline = time.monotonic() + total_s
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jax.jit(lambda x: (x*2).sum())(jnp.ones((4,4)))))"],
+                timeout=probe_s, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() > deadline:
+            print("device backend unreachable (tunnel down?); refusing to "
+                  "hang", file=sys.stderr)
+            sys.exit(1)
+        time.sleep(20)

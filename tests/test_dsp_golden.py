@@ -202,13 +202,33 @@ def test_sliding_window_argmax_packed_payload_exact(route, W):
     assert np.array_equal(Csel[:N], clip[j])
 
 
-def test_dopp_route_corr_matches_default(fsk_block):
+def test_dopp_route_corr_matches_default(bench_conf):
     """The all-lags correlation Doppler route (dopp_route='corr', the
     benchmarking alternative) must make the same decisions as the
     default pruned-DFT route on a real signal: same Doppler bin choice,
-    same symbols and bits (energies differ only in rounding)."""
-    spec, bits, sig = fsk_block
+    same symbols and bits (energies differ only in rounding).
+
+    The grid must be WIDE (D >= CORR_ROUTE_MIN_D = 32): on narrow grids
+    both builds collapse to the same matmul route and the comparison is
+    vacuous."""
+    import copy
+
+    from conftest import make_fsk_signal
+    from pycusdr_tpu.dsp.block import CORR_ROUTE_MIN_D
+    from pycusdr_tpu.dsp.spec import build_spec
     from pycusdr_tpu.ops.cfft import c2ri
+    from pycusdr_tpu.protocol import loadProtocol
+
+    conf = copy.deepcopy(bench_conf)
+    conf["GPU"]["UHF"]["doppCarrierSteps"] = 48
+    conf["Radios"]["Rx"]["UHF-H"]["doppCarrierSteps"] = 48
+    protocol = loadProtocol("bench_FSK")(conf=conf)
+    spec = build_spec(conf, protocol, "UHF-H")
+    assert spec.num_dopplers >= CORR_ROUTE_MIN_D, "grid not wide enough"
+
+    rng = np.random.RandomState(42)
+    bits = rng.randint(0, 2, spec.Nfft // int(spec.spsym))
+    sig = make_fsk_signal(bits, int(spec.spsym), 38400 / spec.sampleRate)
 
     a = build_process_block(spec)(c2ri(sig))
     b = build_process_block(spec, dopp_route="corr")(c2ri(sig))
