@@ -514,6 +514,9 @@ def main():
                          "streaming) graph variant")
     args = ap.parse_args()
 
+    from pycusdr_tpu.utils.device_info import wait_for_backend
+
+    wait_for_backend()
     res = run_profile(tuple(args.batches), args.T, mode=args.mode,
                       latency_mode=args.latency_mode)
     print(json.dumps(res, indent=1))
