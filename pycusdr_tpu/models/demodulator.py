@@ -100,17 +100,50 @@ class Demodulator:
         runtime fills before each process call)."""
         return self._signal_buffer
 
-    def uploadAndFindCarrier(self, samples=None):
-        """Run the device graph; return (freqOffset_Hz, sdev_Hz, clippedPeaks, SNR)."""
+    def dispatch(self, samples=None):
+        """Asynchronously dispatch one block's device graph; return an
+        opaque handle for ``collect``.
+
+        JAX dispatch is asynchronous: this call returns as soon as the
+        graph is enqueued, so the chip demodulates this block while the
+        host is still post-processing the previous one (or waiting for
+        the next hop of samples). The input is snapshotted here (the
+        complex->split conversion copies), so the caller may overwrite
+        its buffer immediately. Handles MUST be collected in dispatch
+        order — the block-boundary healer is sequential host state.
+        """
         if samples is None:
             samples = self._signal_buffer
         samples = np.ascontiguousarray(samples, dtype=np.complex64)
         # host boundary: complex64 -> split (2, N) float32 (the device
         # graph is complex-free; see ops/cfft.py). Native deinterleave
         # when the C++ library is built, numpy otherwise.
-        res = self._process_block(self._c2ri(samples))
+        return self._process_block(self._c2ri(samples))
+
+    def collect(self, handle):
+        """Fetch a ``dispatch`` handle's results and run the host-side
+        phase (overlap-window selection + block healing). Returns the
+        same dict as ``process``. Blocks until the device has executed
+        the dispatched graph."""
+        freqOffset, sdev, _clipped, snr = self._fetch(handle)
+        bits, centres, trust, spSym = self.demodulate()
+        return {
+            "bits": bits,
+            "trust": trust,
+            "centres": centres,
+            "spSymEst": spSym,
+            "doppler": freqOffset,
+            "doppler_std": sdev,
+            "SNR": snr,
+        }
+
+    def uploadAndFindCarrier(self, samples=None):
+        """Run the device graph; return (freqOffset_Hz, sdev_Hz, clippedPeaks, SNR)."""
+        return self._fetch(self.dispatch(samples))
+
+    def _fetch(self, handle):
         # one bundled device->host transfer
-        self._last = {k: np.asarray(v) for k, v in res.items()}
+        self._last = {k: np.asarray(v) for k, v in handle.items()}
         r = self._last
 
         if not self.spec.doppler_search:
@@ -215,17 +248,7 @@ class Demodulator:
 
     def process(self, samples=None):
         """Single-call convenience API: both phases + the stats bundle."""
-        freqOffset, sdev, clipped, snr = self.uploadAndFindCarrier(samples)
-        bits, centres, trust, spSym = self.demodulate()
-        return {
-            "bits": bits,
-            "trust": trust,
-            "centres": centres,
-            "spSymEst": spSym,
-            "doppler": freqOffset,
-            "doppler_std": sdev,
-            "SNR": snr,
-        }
+        return self.collect(self.dispatch(samples))
 
     # ---------------- block-boundary healing ----------------
 

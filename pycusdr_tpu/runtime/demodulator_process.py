@@ -210,6 +210,15 @@ class Demodulator_process(Process):
         orig_sigterm = signal.getsignal(signal.SIGTERM)
         signal.signal(signal.SIGTERM, lambda *_: None)
         maxBatch = self.confGPU.get("TPU", {}).get("maxBatchBlocks", 4)
+        # pipelineDepth >= 2 keeps depth-1 blocks in flight on the
+        # device: block k is dispatched (async) before block k-1's
+        # results are fetched, so device compute and the dispatch/fetch
+        # round trip hide behind host post-processing and the wait for
+        # the next hop. Results ship one block later; steering stats
+        # (Doppler -> rangerate) lag by the same one block, which is
+        # well inside the tracking loop's smoothing window. Depth 1
+        # (default) is the reference's synchronous per-block semantics.
+        pipelineDepth = self.confGPU.get("TPU", {}).get("pipelineDepth", 1)
         if maxBatch > 1:
             # pre-compile the vmapped batch graph so it never stalls the
             # live stream (a mid-stream jit would overflow the ring)
@@ -230,11 +239,61 @@ class Demodulator_process(Process):
                     log.warning("[%s]: failed to send to external decoder [%s]",
                                 self.radioName, e)
 
+        from collections import deque
+
+        inflight = deque()  # (handle, dispatch timestamp, block count)
+
+        def emit(handle, timeStamp, cnt):
+            """Collect one in-flight block's device results and ship."""
+            t0 = time.time()
+            res = demod.collect(handle)
+            data["timestamp"] = timeStamp
+            data["count"] = cnt
+            data["doppler"] = res["doppler"]
+            data["doppler_std"] = res["doppler_std"]
+            data["SNR"] = res["SNR"]
+            data["data"] = res["bits"]
+            data["trust"] = res["trust"]
+            data["spSymEst"] = res["spSymEst"]
+            data["baudRate_est"] = self.Fs / max(res["spSymEst"], 1e-9)
+            TxFreqOffset, RxFreqOffset, data["rangerate"] = self.computeTxFreqOffset(
+                res["doppler"], res["spSymEst"]
+            )
+            self.SNRStats(res["SNR"], res["spSymEst"])
+            ship(data)
+
+            # host cost of this block: fetch wait + post-processing
+            # (in pipelined mode the device computed while we were away)
+            timeSpend = time.time() - t0
+            self.computeMATime(timeSpend)
+            printStats = (self.PRINT_THRESHOLD_ENABLED
+                          and float(data["SNR"]) > self.PRINT_THRESHOLD_LVL)
+            if (log.getEffectiveLevel() < logging.INFO
+                    or cnt % self.PRINT_NTH_BLOCK == 0
+                    or self.PRINT_ALWAYS or printStats):
+                log.info(
+                    "[%s]: freq offset % 6.0f Hz, sd % 5.5f Hz, TxFreqOffset %4.0f Hz, "
+                    "SNR % 2.1f dB, est spsym % 3.2f, time % 3.2f ms (avg % 3.2f ms), "
+                    "rate %5.0f ksamples/s (avg %5.0f)",
+                    self.radioName, data["doppler"], data["doppler_std"],
+                    TxFreqOffset, data["SNR"], data["spSymEst"],
+                    timeSpend * 1000, self.timeMA * 1000,
+                    self.samplesPerSlice / timeSpend / 1000,
+                    self.samplesPerSlice / max(self.timeMA, 1e-9) / 1000,
+                )
+
+        def flush_inflight():
+            while inflight:
+                emit(*inflight.popleft())
+
         try:
             while self.runStatus.is_set():
                 try:
                     hops = sigIn.getBlocks(maxBatch)
                     if len(hops) == maxBatch > 1:
+                        # preserve result order: drain the pipelined
+                        # per-block dispatches before the batched ones
+                        flush_inflight()
                         # fell behind by a full batch: demodulate the
                         # backlog in ONE pre-compiled vmapped dispatch
                         # (smaller backlogs take the single-block path —
@@ -264,46 +323,25 @@ class Demodulator_process(Process):
 
                     for hop in hops:  # partial backlogs: per-block path
                         raw[self.overlap :] = hop
-                        data["timestamp"] = timeStamp = time.time()
-                        data["count"] = count
-                        (data["doppler"], data["doppler_std"], _thresholdIdx,
-                         data["SNR"]) = demod.uploadAndFindCarrier(raw)
-                        data["data"], centres, data["trust"], data["spSymEst"] = demod.demodulate()
-                        data["baudRate_est"] = self.Fs / max(data["spSymEst"], 1e-9)
-
-                        TxFreqOffset, RxFreqOffset, data["rangerate"] = self.computeTxFreqOffset(
-                            data["doppler"], data["spSymEst"]
-                        )
-                        self.SNRStats(data["SNR"], data["spSymEst"])
-                        ship(data)
-
-                        timeSpend = time.time() - timeStamp
-                        self.computeMATime(timeSpend)
-                        printStats = (self.PRINT_THRESHOLD_ENABLED
-                                      and float(data["SNR"]) > self.PRINT_THRESHOLD_LVL)
-                        if (log.getEffectiveLevel() < logging.INFO
-                                or count % self.PRINT_NTH_BLOCK == 0
-                                or self.PRINT_ALWAYS or printStats):
-                            log.info(
-                                "[%s]: freq offset % 6.0f Hz, sd % 5.5f Hz, TxFreqOffset %4.0f Hz, "
-                                "SNR % 2.1f dB, est spsym % 3.2f, time % 3.2f ms (avg % 3.2f ms), "
-                                "rate %5.0f ksamples/s (avg %5.0f)",
-                                self.radioName, data["doppler"], data["doppler_std"],
-                                TxFreqOffset, data["SNR"], data["spSymEst"],
-                                timeSpend * 1000, self.timeMA * 1000,
-                                self.samplesPerSlice / timeSpend / 1000,
-                                self.samplesPerSlice / max(self.timeMA, 1e-9) / 1000,
-                            )
-
+                        # async dispatch: the input is snapshotted inside,
+                        # so the staging buffer may advance immediately
+                        inflight.append((demod.dispatch(raw), time.time(), count))
                         raw[: self.overlap] = raw[-self.overlap :]
                         count += 1
+                        while len(inflight) >= max(pipelineDepth, 1):
+                            emit(*inflight.popleft())
                 except (TimeoutError, ConnectionRefusedError):
                     log.info("[%s]: ZMQ from GRC timed out", self.radioName)
+                    flush_inflight()  # stream gone: ship what's computed
                     count = 0
                     self.GRCTimeoutFlag.set()
         except Exception as e:
             log.exception(e)
         finally:
+            try:
+                flush_inflight()
+            except Exception:
+                log.exception("failed to flush in-flight blocks")
             demodOut.close()
             if demodOutClient is not None:
                 demodOutClient.close()

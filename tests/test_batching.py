@@ -105,3 +105,54 @@ def test_scan_stream_matches_sequential(bench_conf):
                                       err_msg=f"scan block {i}")
     np.testing.assert_allclose(np.asarray(carry_out), c2ri(sig[hop * K : hop * K + ov]),
                                rtol=1e-6)
+
+
+def test_pipelined_dispatch_matches_sequential(bench_conf):
+    """Depth-2 pipelined streaming (dispatch k+1 before collecting k)
+    must produce exactly the synchronous per-block bit stream, one
+    block later."""
+    protocol = loadProtocol("bench_FSK")(conf=bench_conf)
+    dA = UHF.Demodulator(bench_conf, protocol, "UHF-H")
+    dB = UHF.Demodulator(bench_conf, protocol, "UHF-H")
+
+    N, ov = dA.Nfft, dA.sigOverlap
+    hop = N - ov
+    K = 6
+    rng = np.random.RandomState(7)
+    nbits = (ov + hop * K) // 16 + 8
+    bits = rng.randint(0, 2, nbits)
+    sig = make_fsk_signal(bits, 16, 38400 / dA.spec.sampleRate, seed=8, noise_std=0.05)
+    sig = np.r_[sig, np.zeros(hop * K, np.complex64)][: hop * K]
+    hops = sig.reshape(K, hop)
+
+    # A: synchronous per-block streaming
+    rawA = dA.get_signalBufferHostPointer()
+    seqA = []
+    for i in range(K):
+        rawA[ov:] = hops[i]
+        seqA.append(dA.process(rawA))
+        rawA[:ov] = rawA[-ov:]
+
+    # B: depth-2 pipeline — one handle always in flight; the staging
+    # buffer advances BEFORE the previous block is collected (the
+    # dispatch must have snapshotted its input)
+    rawB = dB.get_signalBufferHostPointer()
+    seqB = []
+    inflight = []
+    for i in range(K):
+        rawB[ov:] = hops[i]
+        inflight.append(dB.dispatch(rawB))
+        rawB[:ov] = rawB[-ov:]
+        if len(inflight) >= 2:
+            seqB.append(dB.collect(inflight.pop(0)))
+    while inflight:
+        seqB.append(dB.collect(inflight.pop(0)))
+
+    assert len(seqA) == len(seqB) == K
+    for i, (a, b) in enumerate(zip(seqA, seqB)):
+        np.testing.assert_array_equal(a["bits"], b["bits"],
+                                      err_msg=f"bits differ at block {i}")
+        np.testing.assert_array_equal(a["trust"], b["trust"],
+                                      err_msg=f"trust differs at block {i}")
+        assert a["doppler"] == b["doppler"]
+        assert a["SNR"] == b["SNR"]

@@ -15,7 +15,8 @@ from pycusdr_tpu.config.loader import load_modular_json
 CONF_DIR = os.path.join(os.path.dirname(__file__), "..", "pycusdr_tpu", "config", "configs")
 
 
-def test_tx_rx_loopback_through_processes():
+@pytest.mark.parametrize("pipelineDepth", [1, 2])
+def test_tx_rx_loopback_through_processes(pipelineDepth):
     os.environ["PYCUSDR_JAX_PLATFORM"] = "cpu"
     from pycusdr_tpu.dsp.signal_gen import awgn
     from pycusdr_tpu.protocol.benchmark.bench_base import MASKLEN, seeded_bits
@@ -24,6 +25,8 @@ def test_tx_rx_loopback_through_processes():
     conf = load_modular_json(os.path.join(CONF_DIR, "benchmark", "bench_FSK.json"))
     conf["Main"].update(workerId="loop", PacketLen=1000)
     conf["GPU"]["UHF"].update(blockSize=13, overlap=10)
+    # depth 2 exercises the async in-flight dispatch path end-to-end
+    conf["GPU"]["UHF"].setdefault("TPU", {})["pipelineDepth"] = pipelineDepth
     conf["Radios"]["Rx"]["UHF-H"]["doppCarrierSteps"] = 16
     conf["Radios"]["Rx"]["UHF-H"]["Interfaces"] = {
         "RxInPort": "tcp://127.0.0.1:29560",
