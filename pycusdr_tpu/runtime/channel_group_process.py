@@ -53,6 +53,10 @@ class ChannelGroup_process(Process):
         self.Fs = float(self.baudRate * self.spSym)
         self.sigFIFOTimeout = conf.get("Demodulator", {}).get("timeoutSeconds", 120)
         self.decoderProtocol = r0.get("Protocol", "None")
+        # >=2: keep depth-1 group dispatches in flight (async; results
+        # lag that many blocks) — same semantics as the per-radio
+        # demodulator process's knob
+        self.pipelineDepth = confGPU.get("TPU", {}).get("pipelineDepth", 1)
         self.voteGroup = 0
         self.masterVoteWeight = conf.get("SoftCombiner", {}).get("masterVoteWeight", 1.2)
 
@@ -178,6 +182,69 @@ class ChannelGroup_process(Process):
             except zmq.error.Again as e:
                 log.error("[%s]: failed to send [%s]", self.name, e)
 
+        from collections import deque
+
+        inflight = deque()  # (device result handle, block count)
+
+        def emit(handle, cnt):
+            """Fetch one in-flight group dispatch; heal + ship its
+            C per-channel streams and the device-voted stream."""
+            res = {k: np.asarray(v) for k, v in handle.items()}
+            ts = time.time()
+
+            snrs = []
+            for c in range(C):
+                nBits = int(res["nBits"][c])
+                _, bits, trust, _ = healers[c].heal(
+                    int(np.sum(res["trust"][c][:nBits] == -1)),
+                    res["centres"][c][:nBits], res["symbols"][c][:nBits],
+                    res["bits"][c][:nBits], res["trust"][c][:nBits],
+                )
+                snrs.append(float(res["snr_db"][c]))
+                ship({
+                    "workerId": self.workerIds[c], "count": cnt,
+                    "timestamp": ts, "voteGroup": self.voteGroup,
+                    "doppler": float(res["freq_offset_hz"][c]),
+                    "doppler_std": 0.0,
+                    "data": bits.astype(np.uint8),
+                    "trust": trust.astype(np.int8),
+                    "spSymEst": float(res["spSym"][c]),
+                    "SNR": float(res["snr_db"][c]),
+                    "baudRate": self.baudRate, "baudRate_est":
+                        self.Fs / max(float(res["spSym"][c]), 1e-9),
+                    "sample_rate": self.Fs,
+                    "protocol": self.decoderProtocol,
+                    "numSlaves": 0,
+                })
+
+            # the device-voted stream (numSlaves = C-1 voters)
+            nBits = int(res["nBits"][0])
+            vtrust8 = np.clip(res["trust_voted"][:nBits], -2, 127).astype(np.int8)
+            _, vbits, vtrust, _ = healers[-1].heal(
+                0, res["centres"][0][:nBits], res["symbols"][0][:nBits],
+                res["bits_voted"][:nBits].astype(np.int8), vtrust8,
+            )
+            ship({
+                "workerId": self.workerIds[0] + "-voted", "count": cnt,
+                "timestamp": ts, "voteGroup": self.voteGroup,
+                "doppler": float(res["freq_offset_hz"][0]),
+                "doppler_std": 0.0,
+                "data": vbits.astype(np.uint8),
+                "trust": vtrust.astype(np.int8),
+                "spSymEst": float(res["spSym"][0]),
+                "SNR": float(np.max(snrs)),
+                "baudRate": self.baudRate,
+                "baudRate_est": self.Fs / max(float(res["spSym"][0]), 1e-9),
+                "sample_rate": self.Fs,
+                "protocol": self.decoderProtocol,
+                "numSlaves": C - 1,
+            })
+            self.SNR = float(np.max(snrs))
+
+        def flush_inflight():
+            while inflight:
+                emit(*inflight.popleft())
+
         try:
             while self.runStatus.is_set():
                 try:
@@ -189,61 +256,15 @@ class ChannelGroup_process(Process):
                     )  # (C, Nfft)
                     tails = blocks[:, -self.overlap :].copy()
 
-                    res = group_fn(c2ri(blocks))
-                    res = {k: np.asarray(v) for k, v in res.items()}
-                    ts = time.time()
-
-                    snrs = []
-                    for c in range(C):
-                        nBits = int(res["nBits"][c])
-                        _, bits, trust, _ = healers[c].heal(
-                            int(np.sum(res["trust"][c][:nBits] == -1)),
-                            res["centres"][c][:nBits], res["symbols"][c][:nBits],
-                            res["bits"][c][:nBits], res["trust"][c][:nBits],
-                        )
-                        snrs.append(float(res["snr_db"][c]))
-                        ship({
-                            "workerId": self.workerIds[c], "count": count,
-                            "timestamp": ts, "voteGroup": self.voteGroup,
-                            "doppler": float(res["freq_offset_hz"][c]),
-                            "doppler_std": 0.0,
-                            "data": bits.astype(np.uint8),
-                            "trust": trust.astype(np.int8),
-                            "spSymEst": float(res["spSym"][c]),
-                            "SNR": float(res["snr_db"][c]),
-                            "baudRate": self.baudRate, "baudRate_est":
-                                self.Fs / max(float(res["spSym"][c]), 1e-9),
-                            "sample_rate": self.Fs,
-                            "protocol": self.decoderProtocol,
-                            "numSlaves": 0,
-                        })
-
-                    # the device-voted stream (numSlaves = C-1 voters)
-                    nBits = int(res["nBits"][0])
-                    vtrust8 = np.clip(res["trust_voted"][:nBits], -2, 127).astype(np.int8)
-                    _, vbits, vtrust, _ = healers[-1].heal(
-                        0, res["centres"][0][:nBits], res["symbols"][0][:nBits],
-                        res["bits_voted"][:nBits].astype(np.int8), vtrust8,
-                    )
-                    ship({
-                        "workerId": self.workerIds[0] + "-voted", "count": count,
-                        "timestamp": ts, "voteGroup": self.voteGroup,
-                        "doppler": float(res["freq_offset_hz"][0]),
-                        "doppler_std": 0.0,
-                        "data": vbits.astype(np.uint8),
-                        "trust": vtrust.astype(np.int8),
-                        "spSymEst": float(res["spSym"][0]),
-                        "SNR": float(np.max(snrs)),
-                        "baudRate": self.baudRate,
-                        "baudRate_est": self.Fs / max(float(res["spSym"][0]), 1e-9),
-                        "sample_rate": self.Fs,
-                        "protocol": self.decoderProtocol,
-                        "numSlaves": C - 1,
-                    })
-                    self.SNR = float(np.max(snrs))
+                    # async dispatch; depth-1 handles stay in flight so
+                    # the chip overlaps with healing + the lockstep wait
+                    inflight.append((group_fn(c2ri(blocks)), count))
                     count += 1
+                    while len(inflight) >= max(self.pipelineDepth, 1):
+                        emit(*inflight.popleft())
                 except (TimeoutError, ConnectionRefusedError):
                     log.info("[%s]: sample feed timed out", self.name)
+                    flush_inflight()  # feed gone: ship what's computed
                     count = 0
                     self.GRCTimeoutFlag.set()
                     # a partial lockstep read consumed hops from some
@@ -255,6 +276,10 @@ class ChannelGroup_process(Process):
         except Exception as e:
             log.exception(e)
         finally:
+            try:
+                flush_inflight()
+            except Exception:
+                log.exception("failed to flush in-flight group blocks")
             demodOut.close()
             for f in fifos:
                 del f

@@ -14,7 +14,8 @@ from pycusdr_tpu.config.loader import load_modular_json
 CONF_DIR = os.path.join(os.path.dirname(__file__), "..", "pycusdr_tpu", "config", "configs")
 
 
-def test_channel_group_end_to_end():
+@pytest.mark.parametrize("pipelineDepth", [1, 2])
+def test_channel_group_end_to_end(pipelineDepth):
     os.environ["PYCUSDR_JAX_PLATFORM"] = "cpu"
     from pycusdr_tpu.dsp.signal_gen import awgn, get_padded_packet, packet_data
     from pycusdr_tpu.runtime.orchestrator import PyCuSDR
@@ -22,6 +23,8 @@ def test_channel_group_end_to_end():
     conf = load_modular_json(os.path.join(CONF_DIR, "benchmark", "bench_FSK.json"))
     conf["Main"].update(workerId="cg", PacketLen=1000, channelGroup_enabled=True)
     conf["GPU"]["UHF"].update(blockSize=13, overlap=10)
+    # depth 2 exercises the async in-flight group dispatch path
+    conf["GPU"]["UHF"].setdefault("TPU", {})["pipelineDepth"] = pipelineDepth
     base = conf["Radios"]["Rx"]["UHF-H"]
     conf["Radios"]["Rx"] = {
         "UHF-H": dict(base, name="UHF0", doppCarrierSteps=16,
