@@ -195,9 +195,9 @@ class Demodulator:
         buffer, so interleaving processMany with the per-block API is
         safe. Returns a list of K result dicts like ``process``.
 
-        Batching amortizes the per-dispatch latency — on the tunnelled
-        bench chip it takes the sustained rate from ~600 Msamples/s to
-        ~100 Msamples/s per chip sustained (bench.py; batched dispatch).
+        Batching amortizes the per-dispatch latency and fills the chip:
+        the sustained rate at batch 64 is ~3x the single-block
+        latency-mode rate on the bench chip (bench.py, BASELINE.md).
         """
         hops = np.ascontiguousarray(hops, dtype=np.complex64)
         K, hop = hops.shape
