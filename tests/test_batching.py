@@ -156,3 +156,77 @@ def test_pipelined_dispatch_matches_sequential(bench_conf):
                                       err_msg=f"trust differs at block {i}")
         assert a["doppler"] == b["doppler"]
         assert a["SNR"] == b["SNR"]
+
+
+def test_pipelined_inflight_flushes_on_feed_timeout():
+    """With pipelineDepth=3 and only 2 hops fed, nothing emits during
+    streaming (both blocks stay in flight); when the sample feed times
+    out, the flush must still ship both computed blocks in order."""
+    import os
+    import time
+
+    import zmq
+
+    from pycusdr_tpu.config.loader import load_modular_json
+    from pycusdr_tpu.runtime.demodulator_process import Demodulator_process
+
+    os.environ["PYCUSDR_JAX_PLATFORM"] = "cpu"
+    conf_dir = os.path.join(os.path.dirname(__file__), "..",
+                            "pycusdr_tpu", "config", "configs")
+    conf = load_modular_json(os.path.join(conf_dir, "benchmark", "bench_FSK.json"))
+    conf["Main"].update(workerId="flush", PacketLen=1000)
+    conf["GPU"]["UHF"].update(blockSize=13, overlap=10)
+    conf["GPU"]["UHF"].setdefault("TPU", {})["pipelineDepth"] = 3
+    conf["GPU"]["UHF"]["TPU"]["maxBatchBlocks"] = 1  # force per-block path
+    conf["Radios"]["Rx"]["UHF-H"]["doppCarrierSteps"] = 16
+    conf["Radios"]["Rx"]["UHF-H"]["Interfaces"] = {
+        "RxInPort": "tcp://127.0.0.1:37560",
+        "demodOut": "tcp://localhost:37003",
+    }
+    conf["Demodulator"] = {"timeoutSeconds": 2}
+
+    protocol = loadProtocol("bench_FSK")(conf=conf)
+
+    ctx = zmq.Context()
+    sink = ctx.socket(zmq.PULL)
+    sink.bind("tcp://*:37003")
+    sink.setsockopt(zmq.RCVTIMEO, 1000)
+    pub = ctx.socket(zmq.PUB)
+    pub.bind("tcp://127.0.0.1:37560")
+
+    proc = Demodulator_process(conf, protocol, "UHF-H")
+    proc.start()
+    try:
+        time.sleep(6.0)  # spawn + jit warm-up (slow-joiner PUB is fine: keep sending)
+        hop = 2**13 - 2**10
+        rng = np.random.RandomState(0)
+        sig = (rng.randn(2 * hop) + 1j * rng.randn(2 * hop)).astype(np.complex64)
+        deadline = time.time() + 30
+        got = []
+        sent = 0
+        while time.time() < deadline and len(got) < 2:
+            # keep re-feeding 2-hop bursts until the child's SUB is up
+            # and a feed-timeout cycle has flushed them
+            if sent == 0:
+                for pos in range(0, len(sig), hop // 2):
+                    pub.send(sig[pos: pos + hop // 2].tobytes())
+                sent = 1
+            try:
+                got.append(sink.recv_pyobj())
+                continue
+            except zmq.error.Again:
+                pass
+            if proc.GRCTimeout():
+                sent = 0  # timed out: next loop feeds another burst
+        assert len(got) >= 2, "in-flight blocks were not flushed on feed timeout"
+        counts = [d["count"] for d in got[:2]]
+        assert counts == sorted(counts), f"flush out of order: {counts}"
+        assert all(np.isfinite(d["SNR"]) for d in got[:2])
+    finally:
+        proc.stop()
+        proc.join(timeout=10)
+        if proc.is_alive():
+            proc.terminate()
+        pub.close()
+        sink.close()
+        ctx.term()
