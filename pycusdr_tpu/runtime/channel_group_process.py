@@ -182,15 +182,15 @@ class ChannelGroup_process(Process):
             except zmq.error.Again as e:
                 log.error("[%s]: failed to send [%s]", self.name, e)
 
-        from collections import deque
+        from pycusdr_tpu.runtime.pipeline import InflightPipeline
 
-        inflight = deque()  # (device result handle, block count)
-
-        def emit(handle, cnt):
+        def emit(handle, cnt, ts):
             """Fetch one in-flight group dispatch; heal + ship its
-            C per-channel streams and the device-voted stream."""
+            C per-channel streams and the device-voted stream. ``ts``
+            is the dispatch-time stamp (same meaning as the per-radio
+            process: when the signal block was taken, not when its
+            results were collected)."""
             res = {k: np.asarray(v) for k, v in handle.items()}
-            ts = time.time()
 
             snrs = []
             for c in range(C):
@@ -241,9 +241,7 @@ class ChannelGroup_process(Process):
             })
             self.SNR = float(np.max(snrs))
 
-        def flush_inflight():
-            while inflight:
-                emit(*inflight.popleft())
+        pipeline = InflightPipeline(self.pipelineDepth, emit)
 
         try:
             while self.runStatus.is_set():
@@ -258,15 +256,18 @@ class ChannelGroup_process(Process):
 
                     # async dispatch; depth-1 handles stay in flight so
                     # the chip overlaps with healing + the lockstep wait
-                    inflight.append((group_fn(c2ri(blocks)), count))
+                    pipeline.push(group_fn(c2ri(blocks)), count, time.time())
                     count += 1
-                    while len(inflight) >= max(self.pipelineDepth, 1):
-                        emit(*inflight.popleft())
+                    if len(pipeline) and any(f.idle() for f in fifos):
+                        # feed paused: don't hold computed results back
+                        pipeline.flush()
                 except (TimeoutError, ConnectionRefusedError):
                     log.info("[%s]: sample feed timed out", self.name)
-                    flush_inflight()  # feed gone: ship what's computed
-                    count = 0
+                    # signal BEFORE flushing: a wedged device fetch must
+                    # not mask the feed loss from the watchdog
                     self.GRCTimeoutFlag.set()
+                    pipeline.flush()  # feed gone: ship what's computed
+                    count = 0
                     # a partial lockstep read consumed hops from some
                     # channels only: flush every ring and zero the
                     # overlap tails so recovery restarts sample-aligned
@@ -277,7 +278,7 @@ class ChannelGroup_process(Process):
             log.exception(e)
         finally:
             try:
-                flush_inflight()
+                pipeline.flush()
             except Exception:
                 log.exception("failed to flush in-flight group blocks")
             demodOut.close()

@@ -239,14 +239,12 @@ class Demodulator_process(Process):
                     log.warning("[%s]: failed to send to external decoder [%s]",
                                 self.radioName, e)
 
-        from collections import deque
+        from pycusdr_tpu.runtime.pipeline import InflightPipeline
 
-        inflight = deque()  # (handle, dispatch timestamp, block count)
-
-        def emit(handle, timeStamp, cnt):
-            """Collect one in-flight block's device results and ship."""
-            t0 = time.time()
-            res = demod.collect(handle)
+        def ship_result(res, cnt, timeStamp):
+            """One result dict -> the wire schema, stats, and the PUSH
+            socket. Shared by the per-block and batched paths so the
+            output schema cannot diverge between them."""
             data["timestamp"] = timeStamp
             data["count"] = cnt
             data["doppler"] = res["doppler"]
@@ -256,11 +254,18 @@ class Demodulator_process(Process):
             data["trust"] = res["trust"]
             data["spSymEst"] = res["spSymEst"]
             data["baudRate_est"] = self.Fs / max(res["spSymEst"], 1e-9)
-            TxFreqOffset, RxFreqOffset, data["rangerate"] = self.computeTxFreqOffset(
+            TxFreqOffset, _RxFreqOffset, data["rangerate"] = self.computeTxFreqOffset(
                 res["doppler"], res["spSymEst"]
             )
             self.SNRStats(res["SNR"], res["spSymEst"])
             ship(data)
+            return TxFreqOffset
+
+        def emit(handle, timeStamp, cnt):
+            """Collect one in-flight block's device results and ship."""
+            t0 = time.time()
+            res = demod.collect(handle)
+            TxFreqOffset = ship_result(res, cnt, timeStamp)
 
             # host cost of this block: fetch wait + post-processing
             # (in pipelined mode the device computed while we were away)
@@ -282,9 +287,7 @@ class Demodulator_process(Process):
                     self.samplesPerSlice / max(self.timeMA, 1e-9) / 1000,
                 )
 
-        def flush_inflight():
-            while inflight:
-                emit(*inflight.popleft())
+        pipeline = InflightPipeline(pipelineDepth, emit)
 
         try:
             while self.runStatus.is_set():
@@ -293,27 +296,14 @@ class Demodulator_process(Process):
                     if len(hops) == maxBatch > 1:
                         # preserve result order: drain the pipelined
                         # per-block dispatches before the batched ones
-                        flush_inflight()
+                        pipeline.flush()
                         # fell behind by a full batch: demodulate the
                         # backlog in ONE pre-compiled vmapped dispatch
                         # (smaller backlogs take the single-block path —
                         # one compiled graph per shape, no live stalls)
                         timeStamp = time.time()
                         for res in demod.processMany(np.stack(hops)):
-                            data["timestamp"] = time.time()
-                            data["count"] = count
-                            data["doppler"] = res["doppler"]
-                            data["doppler_std"] = res["doppler_std"]
-                            data["SNR"] = res["SNR"]
-                            data["data"] = res["bits"]
-                            data["trust"] = res["trust"]
-                            data["spSymEst"] = res["spSymEst"]
-                            data["baudRate_est"] = self.Fs / max(res["spSymEst"], 1e-9)
-                            _, _, data["rangerate"] = self.computeTxFreqOffset(
-                                res["doppler"], res["spSymEst"]
-                            )
-                            self.SNRStats(res["SNR"], res["spSymEst"])
-                            ship(data)
+                            ship_result(res, count, time.time())
                             count += 1
                         dt = (time.time() - timeStamp) / len(hops)
                         self.computeMATime(dt)
@@ -325,21 +315,24 @@ class Demodulator_process(Process):
                         raw[self.overlap :] = hop
                         # async dispatch: the input is snapshotted inside,
                         # so the staging buffer may advance immediately
-                        inflight.append((demod.dispatch(raw), time.time(), count))
+                        pipeline.push(demod.dispatch(raw), time.time(), count)
                         raw[: self.overlap] = raw[-self.overlap :]
                         count += 1
-                        while len(inflight) >= max(pipelineDepth, 1):
-                            emit(*inflight.popleft())
+                    if len(pipeline) and sigIn.idle():
+                        # feed paused: don't hold computed results back
+                        pipeline.flush()
                 except (TimeoutError, ConnectionRefusedError):
                     log.info("[%s]: ZMQ from GRC timed out", self.radioName)
-                    flush_inflight()  # stream gone: ship what's computed
-                    count = 0
+                    # signal BEFORE flushing: a wedged device fetch must
+                    # not mask the feed loss from the watchdog
                     self.GRCTimeoutFlag.set()
+                    pipeline.flush()  # stream gone: ship what's computed
+                    count = 0
         except Exception as e:
             log.exception(e)
         finally:
             try:
-                flush_inflight()
+                pipeline.flush()
             except Exception:
                 log.exception("failed to flush in-flight blocks")
             demodOut.close()

@@ -164,6 +164,15 @@ class SigFIFO:
             data = self.buf.popBlock(self.blockSize)
         return data
 
+    def idle(self):
+        """True when the next ``getBlock`` would have to wait: no full
+        hop buffered and nothing pending on the socket. Used by the
+        pipelined streaming paths to drain in-flight results the moment
+        the feed pauses."""
+        if self.buf.currentBufSize >= self.blockSize:
+            return False
+        return len(self.poller.poll(0)) == 0
+
     def getBlocks(self, max_n: int = 1):
         """One blocking block plus up to ``max_n - 1`` more that are
         already buffered (no extra waiting) — lets the demodulator batch

@@ -158,10 +158,11 @@ def test_pipelined_dispatch_matches_sequential(bench_conf):
         assert a["SNR"] == b["SNR"]
 
 
-def test_pipelined_inflight_flushes_on_feed_timeout():
-    """With pipelineDepth=3 and only 2 hops fed, nothing emits during
-    streaming (both blocks stay in flight); when the sample feed times
-    out, the flush must still ship both computed blocks in order."""
+def test_pipelined_inflight_flushes_when_feed_pauses():
+    """With pipelineDepth=3 and only 2 hops fed, the depth alone would
+    hold both blocks in flight; the idle-feed drain (and, as a safety
+    net, the feed-timeout flush) must still ship both computed blocks
+    in order instead of holding them for the timeout window."""
     import os
     import time
 
