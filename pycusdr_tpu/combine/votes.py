@@ -11,7 +11,7 @@ over every disagreeing bit).
 
 import numpy as np
 
-from pycusdr_tpu.globals import DATATYPE, TRUSTTYPE
+from pycusdr_tpu.globals import DATATYPE
 
 # trust codes for 2-way disagreements (reference softCombiner.py:40-43)
 BOTH_TRUST_ERR = 0.1  # both trust their bit but disagree -> master wins

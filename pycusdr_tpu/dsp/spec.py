@@ -8,7 +8,7 @@ Doppler grid ``:129-167``, timing band ``:508-512``). The jitted graph
 closes over these as device constants, so XLA sees fully static shapes.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

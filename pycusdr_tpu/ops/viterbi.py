@@ -11,8 +11,6 @@ Code: G1 = 0o171, G2 = 0o133 (CCSDS 131.0-B; the standard's inversion
 of the second symbol is a flag). Supports hard bits or soft LLRs.
 """
 
-from functools import partial
-
 import numpy as np
 
 K = 7

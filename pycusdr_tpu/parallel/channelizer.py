@@ -13,8 +13,6 @@ The output of channel m is centred at m·fs/M; feed the channels into
 demodulate them mesh-parallel.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -20,7 +20,6 @@ import multiprocessing
 _mp = multiprocessing.get_context("spawn")
 Event, Process = _mp.Event, _mp.Process
 
-import numpy as np
 
 from pycusdr_tpu.decode import frame_finder
 from pycusdr_tpu.decode.packet_hist import PacketHist
