@@ -59,6 +59,61 @@ def measure_step(spec, mesh, n_channels, T=10, repeats=3, vote=True):
     return samples, once
 
 
+def sharded_per_chip_msps(spec=None, n_channels=16, T=40, repeats=7):
+    """Per-chip rate of the SHARDED program on a 1-device mesh — the
+    number directly comparable to bench.py's single-chip graph rate
+    (same paired scan-chain discipline). The sharded step at mesh size
+    1 runs the identical route choices (pruned-output DFT Doppler,
+    packed window tree) plus the vote collective, so rate parity here
+    means the SPMD program carries the single-chip wins.
+
+    ``n_channels`` plays the role of bench.py's batch (local channels
+    on the one chip).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pycusdr_tpu.bench.profile_stages import measure_paired
+    from pycusdr_tpu.parallel import build_sharded_demod_step, make_mesh
+
+    if spec is None:
+        import __graft_entry__ as g
+
+        spec = g.flagship_spec()
+
+    mesh = make_mesh({"channel": 1, "dopp": 1}, jax.devices()[:1])
+    step = build_sharded_demod_step(spec, mesh)
+    rng = np.random.RandomState(0)
+    blocks = rng.randn(n_channels, 2, spec.Nfft).astype(np.float32)
+    d = jax.device_put(blocks, NamedSharding(mesh, P("channel", None, None)))
+
+    def make(Tn):
+        @jax.jit
+        def bench_fn(blocks):
+            def body(c, _):
+                out = step(blocks + c * jnp.float32(1e-30))
+                used = (out["bits"].sum().astype(jnp.float32)
+                        + out["trust"].sum().astype(jnp.float32)
+                        + out["symbols"].sum().astype(jnp.float32)
+                        + out["centres"].sum().astype(jnp.float32)
+                        + out["mags"].sum()
+                        + out["doppler_hz"].sum()
+                        + out["bits_voted"].sum().astype(jnp.float32)
+                        + jnp.nan_to_num(out["snr_db"], neginf=-1.0).sum())
+                return c + used * jnp.float32(1e-30), None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=Tn)
+            return c
+
+        return bench_fn
+
+    f1, f2 = make(T), make(2 * T)
+    per_iter = measure_paired(lambda: f1(d), lambda: f2(d), T, repeats=repeats)
+    eff = spec.Nfft - spec.sigOverlap
+    return n_channels * eff / per_iter / 1e6
+
+
 def run_scaling(device_counts=(1, 2, 4, 8), spec=None, channels_per_device=1):
     import jax
 
@@ -107,6 +162,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--per-chip", action="store_true",
+                   help="measure the sharded program's per-chip Msps on a "
+                        "1-device mesh (paired scan-chain, flagship spec) "
+                        "instead of the mesh sweep")
+    p.add_argument("--channels", type=int, default=16)
     args = p.parse_args()
     if args.cpu:
         import os
@@ -115,6 +175,15 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.per_chip:
+        from pycusdr_tpu.utils.device_info import wait_for_backend
+
+        wait_for_backend()
+        msps = sharded_per_chip_msps(n_channels=args.channels)
+        print(json.dumps({"metric": "sharded_program_per_chip",
+                          "n_channels": args.channels,
+                          "Msamples_per_s": round(msps, 1)}))
+        return
     for row in run_scaling(tuple(args.devices)):
         print(json.dumps(row))
 

@@ -53,7 +53,8 @@ TRUST_CLIPPED = -2
 
 
 def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False,
-                        latency_mode: bool = False, dopp_route: str = None):
+                        latency_mode: bool = False, dopp_route: str = None,
+                        centres_route: str = None, fft_dtype: str = None):
     """Return ``process_block(samples_ri) -> dict`` jitted for ``spec``.
 
     ``samples_ri``: (2, Nfft) float32 split complex block. All
@@ -70,6 +71,19 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False,
     CORR_ROUTE_MIN_D) or "corr" (all-N-lags FFT correlation + column
     gather; smaller constant footprint, for benchmarking route choices).
     Narrow grids always take the shifted-spectrum matmul.
+
+    ``centres_route``: override the symbol-detection window scan —
+    "window" (sliding-window tree at all positions) or "blockscan"
+    (slot-pruned van Herk with deferred combine); None takes
+    ``ops.demod_kernels.CENTRES_SCAN_ROUTE``. Bit-identical routes,
+    chosen by measurement.
+
+    ``fft_dtype``: operand dtype for the dense DFT-factor matmuls —
+    None (= ``ops.cfft.MATMUL_DTYPE``, default f32) or "bfloat16"
+    (halved matmul HBM bytes + the chip's higher bf16 MXU roof; f32
+    accumulation; BER-delta-gated, see ops/cfft.py). Pinned at trace
+    time, so the returned graph carries the choice regardless of the
+    global's later value.
     """
     select_route = "onehot" if latency_mode else "gather"
     wide = spec.D >= CORR_ROUTE_MIN_D
@@ -184,12 +198,13 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False,
                 P2, spSym, codeOffset, Nfft=N, windowWidth=spec.windowWidth,
                 spsymMin=spec.spsymMin, numSymMax=spec.numSymMax,
                 clip_mask=clip_dil, select_route=select_route,
+                scan_route=centres_route,
             )
         else:
             symbols, centres, mags, nSym, spc = find_centres(
                 P2, spSym, codeOffset, Nfft=N, windowWidth=spec.windowWidth,
                 spsymMin=spec.spsymMin, numSymMax=spec.numSymMax,
-                select_route=select_route,
+                select_route=select_route, scan_route=centres_route,
             )
 
         trust = jnp.full((spec.numSymMax,), trust_normal, dtype=jnp.int8)
@@ -227,6 +242,17 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False,
             "clipped_any": jnp.any(clipped),
             "E": E,
         }
+
+    if fft_dtype is not None:
+        from pycusdr_tpu.ops.cfft import matmul_dtype
+
+        inner = process_block
+
+        def process_block(samples_ri, centre_shift=np.int32(0)):
+            # entered during TRACING (the body runs under jit/vmap), so
+            # the dtype choice is baked into this graph specifically
+            with matmul_dtype(fft_dtype):
+                return inner(samples_ri, centre_shift)
 
     if jit:
         kwargs = {"donate_argnums": (0,)} if donate else {}

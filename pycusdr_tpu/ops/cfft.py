@@ -104,8 +104,7 @@ def _four_step(re, im, n: int, sign: float):
     xr = re.reshape(batch + (n1, n2))
 
     def mm(a, b):  # (k, c) x (..., c, m) -> (..., k, m)
-        return jnp.einsum("kc,...cm->...km", a, b,
-                          preferred_element_type=jnp.float32)
+        return _mm("kc,...cm->...km", a, b)
 
     # stage 1: DFT over n1 -> A[k1, n2]
     if im is None:
@@ -118,10 +117,8 @@ def _four_step(re, im, n: int, sign: float):
     # twiddle
     br, bi = cmul(ar, ai, tr, ti)
     # stage 2: DFT over n2 -> C[k2, k1]; output index k = N1*k2 + k1
-    cr = (jnp.einsum("kc,...mc->...km", w2r, br, preferred_element_type=jnp.float32)
-          - jnp.einsum("kc,...mc->...km", w2i, bi, preferred_element_type=jnp.float32))
-    ci = (jnp.einsum("kc,...mc->...km", w2r, bi, preferred_element_type=jnp.float32)
-          + jnp.einsum("kc,...mc->...km", w2i, br, preferred_element_type=jnp.float32))
+    cr = (_mm("kc,...mc->...km", w2r, br) - _mm("kc,...mc->...km", w2i, bi))
+    ci = (_mm("kc,...mc->...km", w2r, bi) + _mm("kc,...mc->...km", w2i, br))
     return cr.reshape(batch + (n,)), ci.reshape(batch + (n,))
 
 
@@ -155,16 +152,13 @@ def _four_step_block(re, im, n: int, sign: float, power_only=False):
     batch = re.shape[:-1]
     xr = re.reshape(batch + (n1, n2))
     if im is None:
-        a = jnp.einsum("kc,...cm->...km", W1RB, xr,
-                       preferred_element_type=jnp.float32)
+        a = _mm("kc,...cm->...km", W1RB, xr)
     else:
         xs = jnp.concatenate([xr, im.reshape(batch + (n1, n2))], axis=-2)
-        a = jnp.einsum("kc,...cm->...km", W1B, xs,
-                       preferred_element_type=jnp.float32)
+        a = _mm("kc,...cm->...km", W1B, xs)
     br, bi = cmul(a[..., :n1, :], a[..., n1:, :], tr, ti)
     bs = jnp.concatenate([br, bi], axis=-1)  # (..., n1, 2n2)
-    c = jnp.einsum("ck,...mc->...km", W2B, bs,
-                   preferred_element_type=jnp.float32)
+    c = _mm("ck,...mc->...km", W2B, bs)
     cr, ci = c[..., :n2, :], c[..., n2:, :]  # (..., k2, k1): X[n1·k2+k1]
     if power_only:
         return (cr * cr + ci * ci).reshape(batch + (n,))
@@ -182,6 +176,52 @@ FOUR_STEP_MIN = 1 << 8
 #: FLOPs, bigger MXU tiles). Numerics differ by ~1 ulp accumulation
 #: order; decisions downstream are unaffected (golden-tested).
 FOUR_STEP_ROUTE = "split4"
+
+#: operand dtype for the dense DFT-factor matmuls: "float32" (default)
+#: or "bfloat16". bf16 operands halve the matmul stages' HBM bytes and
+#: run the MXU at its (higher) bf16 roof; accumulation stays f32
+#: (``preferred_element_type``), so only the operand quantization
+#: (8 mantissa bits) differs. Signal-quality impact is gated by the
+#: BER-delta harness (``bench/ber_delta.py --matmul-dtype bfloat16``);
+#: graphs that require exact integer arithmetic (one-hot selects,
+#: payload packing) never route through this flag. Read at TRACE time —
+#: set via ``matmul_dtype(...)`` or build graphs with
+#: ``dsp.block.build_process_block(..., fft_dtype="bfloat16")``.
+MATMUL_DTYPE = "float32"
+
+
+def _mm_dt():
+    return jnp.bfloat16 if MATMUL_DTYPE == "bfloat16" else jnp.float32
+
+
+class matmul_dtype:
+    """Scoped override of MATMUL_DTYPE (use around graph TRACING —
+    i.e. around the build for jit=False graphs, or around the first
+    call for jitted ones; ``dsp.block.build_process_block`` wraps its
+    graph so the flag is pinned at build time regardless)."""
+
+    def __init__(self, dt: str):
+        if dt not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown matmul dtype {dt!r}")
+        self.dt = dt
+
+    def __enter__(self):
+        global MATMUL_DTYPE
+        self.old = MATMUL_DTYPE
+        MATMUL_DTYPE = self.dt
+        return self
+
+    def __exit__(self, *exc):
+        global MATMUL_DTYPE
+        MATMUL_DTYPE = self.old
+        return False
+
+
+def _mm(sub: str, a, b):
+    """DFT-factor matmul honouring MATMUL_DTYPE, f32 accumulation."""
+    dt = _mm_dt()
+    return jnp.einsum(sub, a.astype(dt), b.astype(dt),
+                      preferred_element_type=jnp.float32)
 
 
 def _stockham(re, im, n: int, sign: float):
@@ -263,16 +303,13 @@ def ifft_unnorm_power_ri(x):
         xi = im.reshape(batch + (n1, n2))
 
         def mm(a, b):
-            return jnp.einsum("kc,...cm->...km", a, b,
-                              preferred_element_type=jnp.float32)
+            return _mm("kc,...cm->...km", a, b)
 
         ar = mm(w1r, xr) - mm(w1i, xi)
         ai = mm(w1r, xi) + mm(w1i, xr)
         br, bi = cmul(ar, ai, tr, ti)
-        cr = (jnp.einsum("kc,...mc->...km", w2r, br, preferred_element_type=jnp.float32)
-              - jnp.einsum("kc,...mc->...km", w2i, bi, preferred_element_type=jnp.float32))
-        ci = (jnp.einsum("kc,...mc->...km", w2r, bi, preferred_element_type=jnp.float32)
-              + jnp.einsum("kc,...mc->...km", w2i, br, preferred_element_type=jnp.float32))
+        cr = (_mm("kc,...mc->...km", w2r, br) - _mm("kc,...mc->...km", w2i, bi))
+        ci = (_mm("kc,...mc->...km", w2r, bi) + _mm("kc,...mc->...km", w2i, br))
         return (cr * cr + ci * ci).reshape(batch + (n,))
     rr, ii = _stockham(re, im, n, -1.0)
     return rr * rr + ii * ii
@@ -311,14 +348,12 @@ def band_dft_real(x_real, lo: int, hi: int):
     x = x_real.reshape(batch + (n1, n2))
 
     # stage 1 on a real signal: A = W1 @ x (complex x real = 2 matmuls)
-    ar = jnp.einsum("kc,...cm->...km", w1r, x, preferred_element_type=jnp.float32)
-    ai = jnp.einsum("kc,...cm->...km", w1i, x, preferred_element_type=jnp.float32)
+    ar = _mm("kc,...cm->...km", w1r, x)
+    ai = _mm("kc,...cm->...km", w1i, x)
     br, bi = cmul(ar, ai, tr, ti)
     # stage 2 restricted to the band's k2 tiles -> C[k2_sel, k1]
-    cr = (jnp.einsum("kc,...mc->...km", w2r, br, preferred_element_type=jnp.float32)
-          - jnp.einsum("kc,...mc->...km", w2i, bi, preferred_element_type=jnp.float32))
-    ci = (jnp.einsum("kc,...mc->...km", w2r, bi, preferred_element_type=jnp.float32)
-          + jnp.einsum("kc,...mc->...km", w2i, br, preferred_element_type=jnp.float32))
+    cr = (_mm("kc,...mc->...km", w2r, br) - _mm("kc,...mc->...km", w2i, bi))
+    ci = (_mm("kc,...mc->...km", w2r, bi) + _mm("kc,...mc->...km", w2i, br))
     flat_r = cr.reshape(batch + ((k2_hi - k2_lo) * n1,))
     flat_i = ci.reshape(batch + ((k2_hi - k2_lo) * n1,))
     s = lo - k2_lo * n1

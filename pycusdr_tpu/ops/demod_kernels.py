@@ -13,6 +13,7 @@ split storage keeps the last (lane) axis at the transform length.
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pycusdr_tpu.ops.cfft import band_dft_real, cmul, ifft_unnorm_power_ri, ifft_unnorm_ri
 
@@ -235,6 +236,63 @@ def sliding_window_argmax(P2: jnp.ndarray, W: int, extras=(),
     return (V, p) + tuple(reversed(decoded))
 
 
+def _blockscan_pack(Vcol: jnp.ndarray, pay: jnp.ndarray, W: int):
+    """Slot-pruned window scan, phase 1: per-block prefix/suffix
+    max-scans whose combine is DEFERRED until after the slot row read.
+
+    The sliding-window tree computes the window max at EVERY one of N+W
+    start positions, but the symbol slots read only ~W of every
+    ~spSym columns — at flagship shapes half the columns (and every
+    tree pass over all of them) are never consumed. van Herk / Gil-
+    Werman decomposition instead: any W-window [A, A+W) spans exactly
+    the suffix of aligned W-block q = A//W from offset r = A%W plus the
+    prefix of block q+1 through r-1, so two W-step block scans (each
+    touching (nb,)-slices, ~2 array passes total) replace the tree's
+    ~2·ceil(log2 W) full passes, and the final max happens per SLOT on
+    numSymMax-sized arrays.
+
+    Returns Z (nb·W, 4) f32 with Z[j] = [suf_v[j], suf_pay[j],
+    pref_v[j+W-1], pref_pay[j+W-1]]: the window max for start j is
+    max(Z[j,0], Z[j,2]) (prefix wins only if strictly greater, so the
+    earlier suffix segment wins ties — identical tie-break to the
+    tree, exactness-tested). The r=0 case degenerates to both halves
+    covering block q and stays exact.
+    """
+    N = Vcol.shape[0]
+    nb = -(-N // W)
+    padn = nb * W - N
+    Vp = jnp.concatenate([Vcol, jnp.full((padn,), -1.0, Vcol.dtype)]).reshape(nb, W)
+    Pp = jnp.concatenate([pay, jnp.zeros((padn,), pay.dtype)]).reshape(nb, W)
+
+    pv, pp = Vp[:, 0], Pp[:, 0]
+    prefs = [(pv, pp)]
+    for i in range(1, W):
+        nv, np_ = Vp[:, i], Pp[:, i]
+        take = nv > pv  # strictly greater: earlier index wins ties
+        pv = jnp.where(take, nv, pv)
+        pp = jnp.where(take, np_, pp)
+        prefs.append((pv, pp))
+    pref_v = jnp.stack([a for a, _ in prefs], axis=1).reshape(nb * W)
+    pref_p = jnp.stack([b for _, b in prefs], axis=1).reshape(nb * W)
+
+    sv, sp = Vp[:, W - 1], Pp[:, W - 1]
+    sufs = [(sv, sp)]
+    for i in range(W - 2, -1, -1):
+        cv, cp = Vp[:, i], Pp[:, i]
+        keep = sv > cv  # the (earlier) current element wins ties
+        sv = jnp.where(keep, sv, cv)
+        sp = jnp.where(keep, sp, cp)
+        sufs.append((sv, sp))
+    sufs.reverse()
+    suf_v = jnp.stack([a for a, _ in sufs], axis=1).reshape(nb * W)
+    suf_p = jnp.stack([b for _, b in sufs], axis=1).reshape(nb * W)
+
+    # shift the prefix row to j+W-1 so ONE row read serves both halves
+    pv_sh = jnp.concatenate([pref_v[W - 1:], jnp.full((W - 1,), -1.0, pref_v.dtype)])
+    pp_sh = jnp.concatenate([pref_p[W - 1:], jnp.zeros((W - 1,), pref_p.dtype)])
+    return jnp.stack([suf_v, suf_p, pv_sh, pp_sh], axis=1)  # (nb*W, 4)
+
+
 def _select_rows_onehot(packed: jnp.ndarray, A: jnp.ndarray, Q: int = 128):
     """R[i] = packed[A[i]] as two exact one-hot contractions instead of
     a row gather. Factor the row index A = Q*q + r: contract q with an
@@ -260,9 +318,63 @@ def _select_rows_onehot(packed: jnp.ndarray, A: jnp.ndarray, Q: int = 128):
     return jnp.einsum("sq,sqc->sc", orr, tmp)
 
 
+#: window-scan evaluation inside find_centres: "window" precomputes the
+#: sliding-window max at all N+W positions (WINDOW_SCAN_ROUTE strategy);
+#: "blockscan" defers the van Herk combine past the slot row read so
+#: only per-block scans touch full-N arrays (see _blockscan_pack).
+#: Both are bit-identical (exactness-tested); default by measurement.
+CENTRES_SCAN_ROUTE = "window"
+
+
+def _select_rows_grouped(packed: jnp.ndarray, A: jnp.ndarray, sp_max: float,
+                         group: int = 8):
+    """R[i] = packed[A[i]] exploiting that A is monotone with bounded
+    stride: ``group`` consecutive slots always land inside a patch of
+    span (group-1)*sp_max+1 rows, so ONE gather of two aligned
+    tile-rows per GROUP replaces ``group`` tiny row gathers (the slot
+    read is row-latency-bound on this backend — measured ~40 us/block
+    for the naive 4.5k-row gather at flagship shapes, independent of
+    batch). The within-patch read is an exact iota-compare one-hot
+    (0/1 f32 contraction -> bit-exact), a few MFLOP.
+
+    ``sp_max``: static upper bound on A[i+1]-A[i] (the demod graph's
+    slot stride is spSym <= Nfft/code_idx_lo by construction of the
+    timing-band argmax). packed: (L, C); A: (S,) int32 nondecreasing.
+    """
+    L, C = packed.shape
+    S = A.shape[0]
+    span = int(np.ceil((group - 1) * float(sp_max))) + 1
+    # worst alignment: A[g0] sits at tile offset Tp-1, so the group ends
+    # at offset Tp-1 + span-1; two tiles cover it iff Tp >= span - 1
+    Tp = 8
+    while Tp < span - 1:
+        Tp *= 2
+    # tiles of Tp rows; a patch = 2 consecutive tiles always covers the
+    # group: base = (A[g*group]//Tp)*Tp <= A[i] <= base + Tp + span - 2 < base + 2Tp
+    G = group
+    Sg = -(-S // G)
+    A_pad = jnp.concatenate(
+        [A, jnp.broadcast_to(A[-1:], (Sg * G - S,))]) if Sg * G != S else A
+    nt = -(-L // Tp) + 1  # +1: the q+1 tile read past the end stays in range
+    Zt = jnp.concatenate(
+        [packed, jnp.zeros((nt * Tp - L, C), packed.dtype)]).reshape(nt, Tp * C)
+    Ag = A_pad.reshape(Sg, G)
+    q = Ag[:, 0] // Tp                       # (Sg,)
+    rows = jnp.stack([q, q + 1], axis=1)     # (Sg, 2)
+    patch = jnp.take(Zt, rows, axis=0)       # (Sg, 2, Tp*C)
+    patch = patch.reshape(Sg, 2 * Tp, C)
+    rel = Ag - (q * Tp)[:, None]             # (Sg, G) in [0, 2*Tp)
+    sel = (rel[:, :, None] == jnp.arange(2 * Tp, dtype=A.dtype)[None, None, :]
+           ).astype(packed.dtype)            # exact 0/1
+    R = jnp.einsum("sgt,stc->sgc", sel, patch,
+                   preferred_element_type=jnp.float32)
+    return R.reshape(Sg * G, C)[:S]
+
+
 def find_centres(P2: jnp.ndarray, spSym, codeOffset, *, Nfft: int, windowWidth: int,
                  spsymMin: int, numSymMax: int, clip_mask=None,
-                 select_route: str = "gather"):
+                 select_route: str = "gather", scan_route: str = None,
+                 sp_max: float = None):
     """Windowed symbol detection (parity: ``findCentres``,
     cuda_kernels.cu:78-146, abs² metric).
 
@@ -325,21 +437,49 @@ def find_centres(P2: jnp.ndarray, spSym, codeOffset, *, Nfft: int, windowWidth: 
     M = P2.shape[0]
     extras = (m_star,) if clip_mask is None else (m_star, clip_mask)
     bounds = (M,) if clip_mask is None else (M, 2)
-    V, payload, prod_b = sliding_window_argmax(
-        Vcol[None, :], W, extras, extra_bounds=bounds, packed=True)
+    if scan_route is None:
+        scan_route = CENTRES_SCAN_ROUTE
 
-    # value + packed (index, mask[, clip]) payload: 2 f32 columns for
-    # ONE major-axis row gather; decode after the small slot read
-    # (payload ints < 2^24 are exact in f32)
-    packed = jnp.stack([V[0], payload[0]], axis=1)  # (N+W, 2)
-    if select_route == "onehot":
-        # latency mode (single-block streaming): see _select_rows_onehot
-        R = _select_rows_onehot(packed, A)
+    if scan_route == "blockscan":
+        prod_b = 1
+        for b in bounds:
+            prod_b *= int(b)
+        if N * prod_b >= 1 << 24:
+            raise ValueError("payload exceeds f32-exact range; shrink bounds")
+        pay = jnp.arange(N, dtype=jnp.int32)
+        for e, b in zip(extras, bounds):
+            pay = pay * jnp.int32(b) + e.astype(jnp.int32)
+        Z = _blockscan_pack(Vcol, pay.astype(jnp.float32), W)  # (nb*W, 4)
+        if select_route == "onehot":
+            R4 = _select_rows_onehot(Z, A)
+        elif select_route == "grouped":
+            R4 = _select_rows_grouped(Z, A, sp_max)
+        else:
+            R4 = jnp.take(Z, A, axis=0)  # (numSymMax, 4)
+        # deferred combine on slot-sized arrays: prefix half wins only
+        # if strictly greater (suffix = earlier columns keeps ties)
+        right = R4[:, 2] > R4[:, 0]
+        mags = jnp.where(right, R4[:, 2], R4[:, 0])
+        pf = jnp.where(right, R4[:, 3], R4[:, 1]).astype(jnp.int32)
     else:
-        R = jnp.take(packed, A, axis=0)  # (numSymMax, 2)
+        V, payload, prod_b = sliding_window_argmax(
+            Vcol[None, :], W, extras, extra_bounds=bounds, packed=True)
 
-    mags = R[:, 0]
-    pf = R[:, 1].astype(jnp.int32)
+        # value + packed (index, mask[, clip]) payload: 2 f32 columns
+        # for ONE major-axis row gather; decode after the small slot
+        # read (payload ints < 2^24 are exact in f32)
+        packed = jnp.stack([V[0], payload[0]], axis=1)  # (N+W, 2)
+        if select_route == "onehot":
+            # latency mode (single-block streaming): see _select_rows_onehot
+            R = _select_rows_onehot(packed, A)
+        elif select_route == "grouped":
+            # grouped patch-gather (needs the static stride bound)
+            R = _select_rows_grouped(packed, A, sp_max)
+        else:
+            R = jnp.take(packed, A, axis=0)  # (numSymMax, 2)
+
+        mags = R[:, 0]
+        pf = R[:, 1].astype(jnp.int32)
     if clip_mask is not None:
         at_win_i = pf % jnp.int32(2)
         pf = pf // jnp.int32(2)

@@ -144,8 +144,9 @@ def doppler_energy_corr_dft(P: jnp.ndarray, Qf_ri: jnp.ndarray, F_ri: jnp.ndarra
         idx = jnp.mod(k_hi * jnp.mod(256 * c, N) + k_lo * c, N)
         ang = idx.astype(jnp.float32) * jnp.float32(2.0 * np.pi / N)
         mr, mi = cmul(mr, mi, jnp.cos(ang)[None, :], jnp.sin(ang)[None, :])
-    E = (jnp.einsum("mk,kd->md", mr, F_ri[0], preferred_element_type=jnp.float32)
-         - jnp.einsum("mk,kd->md", mi, F_ri[1], preferred_element_type=jnp.float32))
+    from pycusdr_tpu.ops.cfft import _mm
+
+    E = _mm("mk,kd->md", mr, F_ri[0]) - _mm("mk,kd->md", mi, F_ri[1])
     return E.T / ABS_SUM_SCALE
 
 

@@ -202,6 +202,74 @@ def test_sliding_window_argmax_packed_payload_exact(route, W):
     assert np.array_equal(Csel[:N], clip[j])
 
 
+@_pytest.mark.parametrize("select_route", ["gather", "onehot"])
+@_pytest.mark.parametrize("W", [5, 7])
+def test_find_centres_blockscan_bit_identical(select_route, W):
+    """The slot-pruned blockscan route (van Herk block scans with the
+    combine deferred past the slot row read) must be BIT-IDENTICAL to
+    the sliding-window-tree route, including the (offset, mask)
+    tie-break and the clip flag riding the payload — pinned with
+    quantized values so exact float ties actually occur."""
+    import jax.numpy as jnp
+
+    from pycusdr_tpu.ops.demod_kernels import find_centres
+
+    rng = np.random.RandomState(11)
+    M, N = 8, 4096
+    # quantized -> many exact ties exercise earliest-wins
+    P2 = (np.round(rng.rand(M, N).astype(np.float32) * 64) / 8)
+    spSym = np.float32(13.7)
+    codeOffset = np.float32(4.2)
+    numSymMax = N // 8
+    clip = jnp.asarray(rng.rand(N) > 0.97)
+
+    for cm in (None, clip):
+        a = find_centres(jnp.asarray(P2), spSym, codeOffset, Nfft=N,
+                         windowWidth=W, spsymMin=8, numSymMax=numSymMax,
+                         clip_mask=cm, select_route=select_route,
+                         scan_route="window")
+        b = find_centres(jnp.asarray(P2), spSym, codeOffset, Nfft=N,
+                         windowWidth=W, spsymMin=8, numSymMax=numSymMax,
+                         clip_mask=cm, select_route=select_route,
+                         scan_route="blockscan")
+        for i, (x, y) in enumerate(zip(a, b)):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), \
+                f"output {i} differs (clip={cm is not None})"
+
+
+@_pytest.mark.parametrize("scan_route", ["window", "blockscan"])
+def test_find_centres_grouped_select_bit_identical(scan_route):
+    """The grouped patch-gather slot read (one two-tile gather per G
+    consecutive slots + exact one-hot within the patch) must be
+    BIT-IDENTICAL to the plain row gather — it is a measured A/B
+    alternative for the slot-read stage, and its iota-compare select is
+    exact 0/1 arithmetic, so any divergence is an indexing bug."""
+    import jax.numpy as jnp
+
+    from pycusdr_tpu.ops.demod_kernels import find_centres
+
+    rng = np.random.RandomState(7)
+    M, N, W = 8, 4096, 7
+    P2 = (np.round(rng.rand(M, N).astype(np.float32) * 64) / 8)
+    spSym = np.float32(13.7)
+    codeOffset = np.float32(4.2)
+    numSymMax = N // 8
+    clip = jnp.asarray(rng.rand(N) > 0.97)
+
+    for cm in (None, clip):
+        a = find_centres(jnp.asarray(P2), spSym, codeOffset, Nfft=N,
+                         windowWidth=W, spsymMin=8, numSymMax=numSymMax,
+                         clip_mask=cm, select_route="gather",
+                         scan_route=scan_route)
+        b = find_centres(jnp.asarray(P2), spSym, codeOffset, Nfft=N,
+                         windowWidth=W, spsymMin=8, numSymMax=numSymMax,
+                         clip_mask=cm, select_route="grouped",
+                         scan_route=scan_route, sp_max=16.0)
+        for i, (x, y) in enumerate(zip(a, b)):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), \
+                f"output {i} differs (clip={cm is not None})"
+
+
 def test_dopp_route_corr_matches_default(bench_conf):
     """The all-lags correlation Doppler route (dopp_route='corr', the
     benchmarking alternative) must make the same decisions as the
