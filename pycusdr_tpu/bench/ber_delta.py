@@ -110,7 +110,7 @@ def _stream_one(demod, protocol, conf, sig, expected_bytes, n_bits):
 
 def run_delta(modulations=("FSK", "GFSK", "GMSK", "BPSK"), snrs=None, runs=10,
               packetLen=10000, seed=123, spSym=16, baud=9600, blockSize=None,
-              overlap=None, out_path=None, verbose=True):
+              overlap=None, out_path=None, verbose=True, matmul_dtype=None):
     from pycusdr_tpu.bench.ber import modulation_bandwidth
     from pycusdr_tpu.dsp.signal_gen import awgn, get_padded_packet, packet_data
 
@@ -129,6 +129,10 @@ def run_delta(modulations=("FSK", "GFSK", "GMSK", "BPSK"), snrs=None, runs=10,
             conf["GPU"]["UHF"]["blockSize"] = blockSize
         if overlap is not None:
             conf["GPU"]["UHF"]["overlap"] = overlap
+        if matmul_dtype is not None:
+            # arm A only by construction: the golden arm is numpy f64/f32
+            # and never touches the device matmul routes
+            conf["GPU"]["UHF"]["matmulDtype"] = matmul_dtype
 
         arm_a, proto_a = _make_arm(conf, f"bench_{mod}", golden=False)
         arm_b, proto_b = _make_arm(conf, f"bench_{mod}", golden=True)
@@ -192,6 +196,11 @@ def main():
     ap.add_argument("--packetLen", type=int, default=10000)
     ap.add_argument("--blockSize", type=int, default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--matmul-dtype", default=None,
+                    choices=["float32", "bfloat16"],
+                    help="route arm A's DFT-factor matmuls through this "
+                         "operand dtype (the gate for shipping the bf16 "
+                         "route; see ops/cfft.py MATMUL_DTYPE)")
     ap.add_argument("--cpu", action=argparse.BooleanOptionalAction, default=True,
                     help="run on the CPU backend (--no-cpu targets the TPU)")
     args = ap.parse_args()
@@ -201,7 +210,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     run_delta(tuple(args.modulations), args.snrs, args.runs,
               packetLen=args.packetLen, blockSize=args.blockSize,
-              out_path=args.out)
+              out_path=args.out, matmul_dtype=args.matmul_dtype)
 
 
 if __name__ == "__main__":

@@ -79,12 +79,15 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False,
     chosen by measurement.
 
     ``fft_dtype``: operand dtype for the dense DFT-factor matmuls —
-    None (= ``ops.cfft.MATMUL_DTYPE``, default f32) or "bfloat16"
-    (halved matmul HBM bytes + the chip's higher bf16 MXU roof; f32
-    accumulation; BER-delta-gated, see ops/cfft.py). Pinned at trace
-    time, so the returned graph carries the choice regardless of the
-    global's later value.
+    None (= ``spec.matmul_dtype``, i.e. the config's ``matmulDtype``
+    knob, falling back to ``ops.cfft.MATMUL_DTYPE``, default f32) or
+    "bfloat16" (halved matmul HBM bytes + the chip's higher bf16 MXU
+    roof; f32 accumulation; BER-delta-gated, see ops/cfft.py). Pinned
+    at trace time, so the returned graph carries the choice regardless
+    of the global's later value.
     """
+    if fft_dtype is None:
+        fft_dtype = spec.matmul_dtype
     select_route = "onehot" if latency_mode else "gather"
     wide = spec.D >= CORR_ROUTE_MIN_D
     if dopp_route is None:

@@ -51,6 +51,9 @@ class DemodSpec:
     centreFreqOffset: float = 0.0
     voteWeight: int = 1
     snr_window: int = 5
+    # operand dtype for the DFT-factor matmuls: None/"float32" or
+    # "bfloat16" (f32 accumulation; BER-delta-gated, see ops/cfft.py)
+    matmul_dtype: Optional[str] = None
 
     # derived (filled by build_spec)
     spsymMin: int = 0
@@ -201,5 +204,6 @@ def build_spec(conf: dict, protocol, radioName: str) -> DemodSpec:
         code_idx_lo=int(Nfft / (1.1 * spsym)),
         code_idx_hi=code_idx_hi,
         sampleRate=sampleRate,
+        matmul_dtype=confGPU.get("matmulDtype"),
     )
     return spec
