@@ -180,14 +180,21 @@ def stage_flops(spec):
     N, M, D = spec.Nfft, spec.num_masks, spec.D
     W = spec.windowWidth
     f = {}
+    # spike clipping (STX): 2 mean passes + compare + gather-free fill
+    f["clip"] = 0.0 if spec.disable_peak_thresholding else 8.0 * N
     f["fft_fwd"] = fourstep_flops(N) + 3 * N  # + |S|^2
-    # corr_dft route: real-input FFT(P) (stage 1 halved) + M pointwise
-    # cmul + ONE pruned-output (M,N)x(N,D) real-part contraction
-    f["dopp_energy"] = (12.0 * N * np.sqrt(N) + 6 * N) + 6 * M * N \
-        + 4.0 * M * N * D
-    # the superseded all-N-lags route (comparison row, not in "full")
-    f["dopp_energy_all_lags"] = (1 + M) * fourstep_flops(N) + 6 * M * N
-    f["dopp_est"] = 4.0 * D * M
+    if spec.doppler_search:
+        # corr_dft route: real-input FFT(P) (stage 1 halved) + M
+        # pointwise cmul + ONE pruned-output (M,N)x(N,D) real-part
+        # contraction
+        f["dopp_energy"] = (12.0 * N * np.sqrt(N) + 6 * N) + 6 * M * N \
+            + 4.0 * M * N * D
+        # the superseded all-N-lags route (comparison row, not in "full")
+        f["dopp_energy_all_lags"] = (1 + M) * fourstep_flops(N) + 6 * M * N
+    else:  # STX fixed-offset mode
+        f["dopp_energy"] = 0.0
+        f["dopp_energy_all_lags"] = 0.0
+    f["dopp_est"] = 4.0 * D * M if spec.doppler_search else 0.0
     # shift + M cmul + M fused-power inverse FFTs
     f["mask_bank"] = 6 * M * N + M * (fourstep_flops(N) + 3 * N)
     # mask-sum + packed rfft (N/2 complex) + band metric
@@ -197,6 +204,91 @@ def stage_flops(spec):
     f["bits"] = 2.0 * spec.numSymMax * max(M, 2)
     f["full"] = sum(v for k, v in f.items() if k != "dopp_energy_all_lags")
     return f
+
+
+#: STX prefix composition (no Doppler stages, clipping in front)
+_PREFIX_STAGES_STX = {
+    "pre_clip": ["clip"],
+    "pre_fft": ["clip", "fft_fwd"],
+    "pre_bank": ["clip", "fft_fwd", "mask_bank"],
+    "pre_timing": ["clip", "fft_fwd", "mask_bank", "timing"],
+    "pre_centres": ["clip", "fft_fwd", "mask_bank", "timing", "centres"],
+    "pre_bits": ["clip", "fft_fwd", "mask_bank", "timing", "centres",
+                 "bits"],
+}
+
+
+def build_prefix_fns_stx(spec, latency_mode=False):
+    """Cumulative-prefix closures for the STX graph (reference
+    demodulator/STX.py semantics: spike clipping ON, NO Doppler search
+    — the spectrum shift is the fixed ``dopp_offset_idx``)."""
+    import jax.numpy as jnp
+
+    from pycusdr_tpu.dsp.block import build_process_block
+    from pycusdr_tpu.ops.cfft import c2ri, fft_ri
+    from pycusdr_tpu.ops.demod_kernels import (
+        apply_best_doppler_power,
+        dilate_mask_dynamic,
+        extract_bits_lut,
+        find_centres,
+        find_code_rate_and_phase,
+        threshold_input,
+    )
+
+    N, M = spec.Nfft, spec.num_masks
+    assert not spec.doppler_search and not spec.disable_peak_thresholding
+    masks_ri = jnp.asarray(c2ri(spec.masks_f))
+    bitLUT = jnp.asarray(spec.bitLUT.astype(np.int8))
+    shift = jnp.int32(spec.dopp_offset_idx)
+    route = "onehot" if latency_mode else "gather"
+
+    rng = np.random.RandomState(7)
+    sig0 = c2ri((rng.randn(N) + 1j * rng.randn(N)).astype(np.complex64))
+
+    def upto(stop):
+        def fn(sig):
+            sig, clipped = threshold_input(sig, spec.peak_threshold_scale)
+            if stop == "clip":
+                return sig.sum() + clipped.sum().astype(jnp.float32)
+            S = fft_ri(sig)
+            if stop == "fft":
+                return (S[0] ** 2 + S[1] ** 2).sum() \
+                    + clipped.sum().astype(jnp.float32)
+            P2 = apply_best_doppler_power(S, masks_ri, shift)
+            if stop == "bank":
+                return P2.sum() + clipped.sum().astype(jnp.float32)
+            spSym, codeOffset, code_val = find_code_rate_and_phase(
+                P2, spec.code_idx_lo, spec.code_idx_hi, N,
+                spec.code_search_mask_offset)
+            if stop == "timing":
+                return spSym + codeOffset + code_val + P2.sum() * 0 \
+                    + clipped.sum().astype(jnp.float32)
+            spc_pre = jnp.maximum(spSym, float(spec.spsymMin))
+            hw = 2 * jnp.ceil(spc_pre).astype(jnp.int32)
+            clip_dil = dilate_mask_dynamic(clipped, hw)
+            symbols, centres, mags, nSym, spc, at_win = find_centres(
+                P2, spSym, codeOffset, Nfft=N, windowWidth=spec.windowWidth,
+                spsymMin=spec.spsymMin, numSymMax=spec.numSymMax,
+                clip_mask=clip_dil, select_route=route)
+            if stop == "centres":
+                return (symbols.sum() + centres.sum()
+                        + at_win.sum()).astype(jnp.float32) + mags.sum() + spc
+            bits = extract_bits_lut(symbols, bitLUT)
+            return (bits.sum() + symbols.sum() + centres.sum()
+                    + at_win.sum()).astype(jnp.float32) + mags.sum() + spc
+        return fn
+
+    core = build_process_block(spec, jit=False, latency_mode=latency_mode)
+
+    def s_full(sig):
+        r = core(sig)
+        return (r["bits"].sum() + r["trust"].sum() + r["centres"].sum()
+                ).astype(jnp.float32) + r["spSym"] + r["mags"].sum()
+
+    prefixes = {f"pre_{s}": (upto(s), [sig0])
+                for s in ["clip", "fft", "bank", "timing", "centres", "bits"]}
+    prefixes["full"] = (s_full, [sig0])
+    return prefixes
 
 
 def build_stage_fns(spec):
@@ -453,15 +545,19 @@ def run_profile(batches=(1, 64), T=10, spec=None, mode="stages",
         spec = flagship_spec()
 
     flops = stage_flops(spec)
+    prefix_map = _PREFIX_STAGES if spec.doppler_search else _PREFIX_STAGES_STX
     if mode == "prefix":
         # cumulative-FLOP accounting so each prefix row's gflops/tflops
         # matches the cumulative time it reports
         flops = dict(flops, **{
             pre: sum(flops[s] for s in parts)
-            for pre, parts in _PREFIX_STAGES.items()
+            for pre, parts in prefix_map.items()
         })
-    stages = (build_prefix_fns(spec, latency_mode) if mode == "prefix"
-              else build_stage_fns(spec))
+    if mode == "prefix":
+        stages = (build_prefix_fns(spec, latency_mode) if spec.doppler_search
+                  else build_prefix_fns_stx(spec, latency_mode))
+    else:
+        stages = build_stage_fns(spec)
     eff = spec.Nfft - spec.sigOverlap
 
     result = {
@@ -512,12 +608,20 @@ def main():
     ap.add_argument("--latency-mode", action="store_true",
                     help="profile the latency-optimized (single-block "
                          "streaming) graph variant")
+    ap.add_argument("--spec", choices=["flagship", "stx"], default="flagship",
+                    help="graph envelope: flagship (UHF, Nfft 2^16, D=64) "
+                         "or stx (Nfft 2^17, no Doppler search, clipping on)")
     args = ap.parse_args()
 
     from pycusdr_tpu.utils.device_info import wait_for_backend
 
     wait_for_backend()
-    res = run_profile(tuple(args.batches), args.T, mode=args.mode,
+    spec = None
+    if args.spec == "stx":
+        from __graft_entry__ import stx_spec
+
+        spec = stx_spec()
+    res = run_profile(tuple(args.batches), args.T, spec=spec, mode=args.mode,
                       latency_mode=args.latency_mode)
     print(json.dumps(res, indent=1))
     if args.out:

@@ -1,0 +1,213 @@
+"""Real-time streaming measurement of the FULL process pipeline on the
+actual device backend.
+
+Every other number in BASELINE.md is a compute-graph (scan-chain)
+number; this harness measures what a ground-station operator actually
+gets: the simulated GNU Radio front-end (``examples/gnuradio/
+sim_frontend.py``) pacing CC11xx bursts over a noise floor at the
+operational envelope (7416 baud x 128 sp/sym ~= 0.95 Msps, reference
+``config/CC11xx.json:48-49``) into the SPAWNED demodulator process
+(device context + jitted graphs live in the child), through the real
+SigFIFO -> overlap-save -> pipelined device dispatch -> decoder -> ZMQ
+bytes-out fabric (reference headline log ``demodulator_process.py:
+330-333``).
+
+The front-end's packet schedule runs on the SAMPLE clock, so a
+``--speed S`` sweep delivers the identical signal at S times real time:
+the largest S where every scheduled packet still decodes bit-exact IS
+the pipeline's sustained real-time margin (the ingest ring holds only
+4 hops — reference ``sigFIFO.py`` semantics — so falling behind drops
+samples and packets, there is nothing to hide behind). Dispatch RTT
+through the tunnel (~32-36 ms/block vs 68 ms of air per block at 1x)
+is covered by ``pipelineDepth`` in-flight blocks.
+
+Run (real chip):  python -m pycusdr_tpu.bench.streaming_rt --duration 60
+CPU smoke:        python -m pycusdr_tpu.bench.streaming_rt --cpu \
+                      --duration 20 --speeds 1
+"""
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+from pycusdr_tpu.config.loader import load_modular_json
+
+CONF_DIR = os.path.join(os.path.dirname(__file__), "..", "config", "configs")
+EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "..", "examples",
+                        "gnuradio")
+
+
+def _build_conf(basePort, pipelineDepth, payload_seed):
+    conf = load_modular_json(os.path.join(CONF_DIR, "CC11xx.json"))
+    p = basePort
+    rx = conf["Radios"]["Rx"]["UHF-H"]
+    rx["Interfaces"] = {"RxInPort": f"tcp://127.0.0.1:{p}",
+                        "demodOut": f"tcp://localhost:{p + 100}"}
+    # Tx unused here; point its sockets at unique ports so nothing collides
+    tx = conf["Radios"]["Tx"]["UHF"]
+    tx["Interfaces"] = {"TxModToUSRPPort": f"tcp://127.0.0.1:{p + 1}",
+                        "TxDataIn": f"tcp://127.0.0.1:{p + 2}",
+                        "TxManualIn": f"tcp://localhost:{p + 3}"}
+    conf["Interfaces"]["Internal"].update({
+        "demodIn": f"tcp://*:{p + 100}",
+        "demodOut": f"tcp://localhost:{p + 100}",
+        "decodeOut": f"tcp://localhost:{p + 101}",
+        "decodeIn": f"tcp://*:{p + 101}",
+    })
+    conf["Interfaces"]["External"]["decodeBytesOut_ZMQ"] = {"UHF": f"tcp://*:{p + 102}"}
+    conf["Interfaces"]["External"]["XMLRpcIn"] = f"127.0.0.1:{p + 103}"
+    conf["decoder"] = dict(conf.get("decoder", {}), statsPort=p + 104)
+    conf["GPU"]["UHF"].setdefault("TPU", {})["pipelineDepth"] = pipelineDepth
+    return conf
+
+
+def run_point(speed, duration_signal_s, *, basePort, pipelineDepth=2,
+              snr_db=18.0, interval=3.0, payload_len=48, seed=1234,
+              ready_timeout=180.0, verbose=True, log_v=0):
+    """One speed point. ``duration_signal_s`` is SIGNAL seconds (the
+    wall-clock run is duration/speed + warm-up + drain)."""
+    import zmq
+
+    from pycusdr_tpu.runtime.orchestrator import PyCuSDR
+
+    sys.path.insert(0, EXAMPLES)
+    import sim_frontend
+
+    conf = _build_conf(basePort, pipelineDepth, seed)
+    rxc = conf["Radios"]["Rx"]["UHF-H"]
+    fs = rxc["baud"] * rxc["samplesPerSym"]
+
+    # the front-end's payload bytes are deterministic in the seed
+    expected = np.random.RandomState(seed).randint(
+        0, 256, payload_len).astype(np.uint8)
+
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        json.dump(conf, f)
+        conf_path = f.name
+
+    import types
+
+    sdr = PyCuSDR(dict(conf),
+                  args=types.SimpleNamespace(v=log_v) if log_v else None)
+    sdr.start()
+    ctx = zmq.Context()
+    sink = ctx.socket(zmq.PULL)
+    sink.connect(f"tcp://localhost:{basePort + 102}")
+    sink.setsockopt(zmq.RCVTIMEO, 250)
+
+    got, exact = [], 0
+    t_wall0 = None
+    try:
+        # readiness handshake (same discipline as bench/ber.py): stream
+        # noise from a temporary PUB until the demod child has processed
+        # its first real block (baudRateEst flips non-zero) — spawn +
+        # device init + jit warm-up all complete before the paced run,
+        # else the 4-hop ingest ring drops the head of the measurement
+        warm_pub = ctx.socket(zmq.PUB)
+        warm_pub.bind(f"tcp://127.0.0.1:{basePort}")
+        rng = np.random.RandomState(99)
+        chunk = 4095
+        deadline = time.time() + ready_timeout
+        noise = (np.sqrt(0.05) * (rng.randn(chunk) + 1j * rng.randn(chunk))
+                 ).astype(np.complex64)
+        while time.time() < deadline:
+            warm_pub.send(noise.tobytes())
+            time.sleep(chunk / fs)
+            if all(d.baudRateEst != 0 for d in sdr.demodulators):
+                break
+        else:
+            print("warning: demod child not confirmed ready before deadline",
+                  file=sys.stderr)
+        warm_pub.close()
+        time.sleep(0.5)  # release the bind before the front-end takes it
+
+        t_wall0 = time.time()
+        fe = threading.Thread(
+            target=sim_frontend.main,
+            args=([ "-c", conf_path, "--snr", str(snr_db),
+                    "--interval", str(interval),
+                    "--payload-len", str(payload_len),
+                    "--duration", str(duration_signal_s / speed),
+                    "--speed", str(speed), "--seed", str(seed)],),
+            daemon=True)
+        fe.start()
+        t_end = t_wall0 + duration_signal_s / speed + 20.0  # drain
+        while time.time() < t_end:
+            try:
+                raw = sink.recv()
+            except zmq.error.Again:
+                if not fe.is_alive() and time.time() > t_end - 15.0:
+                    break
+                continue
+            got.append(raw)
+            b = np.frombuffer(raw, np.uint8)
+            if len(b) >= len(expected) and np.array_equal(
+                    b[:len(expected)], expected):
+                exact += 1
+        fe.join(timeout=30)
+    finally:
+        wall = time.time() - (t_wall0 or time.time())
+        sdr.terminate()
+        sink.close()
+        ctx.term()
+        os.unlink(conf_path)
+
+    # sample-clock schedule: first burst at t=1s, then every `interval`;
+    # a burst scheduled in the last half second straddles the stream end
+    # and is not counted against the pipeline
+    n_expected = int(max(0.0, (duration_signal_s - 1.5)) // interval) + 1
+    row = {
+        "speed": speed,
+        "input_msps": round(fs * speed / 1e6, 3),
+        "signal_seconds": duration_signal_s,
+        "wall_seconds": round(wall, 1),
+        "pipelineDepth": pipelineDepth,
+        "packets_scheduled": n_expected,
+        "packets_decoded": len(got),
+        "packets_bit_exact": exact,
+    }
+    if verbose:
+        print(json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--duration", type=float, default=60.0,
+                    help="SIGNAL seconds per point (wall time /= speed)")
+    ap.add_argument("--speeds", type=float, nargs="+", default=[1.0, 2.0, 4.0])
+    ap.add_argument("--pipeline-depth", type=int, default=2)
+    ap.add_argument("--snr", type=float, default=18.0)
+    ap.add_argument("--base-port", type=int, default=26700)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("-v", action="count", default=0,
+                    help="modem process verbosity (shows the demod "
+                         "child's per-block rate log)")
+    args = ap.parse_args()
+    if args.cpu:
+        os.environ["PYCUSDR_JAX_PLATFORM"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    rows = []
+    for i, s in enumerate(args.speeds):
+        rows.append(run_point(s, args.duration,
+                              basePort=args.base_port + 200 * i,
+                              pipelineDepth=args.pipeline_depth,
+                              snr_db=args.snr, log_v=args.v))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"points": rows}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

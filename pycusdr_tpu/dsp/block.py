@@ -41,10 +41,13 @@ from pycusdr_tpu.ops.doppler_search import (
     make_shift_gather_indices,
 )
 
-# Above this grid size the correlation evaluation of the Doppler energy
-# (pruned-output DFT contraction, ops.doppler_search.doppler_energy_corr_dft)
-# beats the shifted-spectrum matmul; below it the (D, N) materialization
-# is small and the direct matmul wins.
+# Retained solely as the A/B boundary note for the superseded
+# "matmul" route: the shifted-spectrum gather materializes (D, N) via a
+# per-element fancy gather, which SERIALIZES on this TPU backend — a
+# D=16 narrow grid measured 7.3 ms/block in the gather route vs ~40 µs
+# through the pruned-output DFT contraction (results/subsystems_r3
+# investigation), so corr_dft is now the default at EVERY D and the
+# matmul route is opt-in for CPU benchmarking only.
 CORR_ROUTE_MIN_D = 32
 
 TRUST_NORMAL = 2
@@ -52,9 +55,64 @@ TRUST_SYMBOL_ERROR = -1
 TRUST_CLIPPED = -2
 
 
+#: scalar outputs in pack order (see pack_block_outputs)
+PACK_SCALARS = ("nSym", "nBits", "spSym", "codeOffset", "code_val",
+                "dopp_idx", "quality_db", "doppler_hz", "freq_offset_hz",
+                "snr_db", "shift", "clipped_any")
+
+
+def packed_len(spec: DemodSpec) -> int:
+    return 5 * spec.numSymMax + len(PACK_SCALARS) + spec.D * spec.num_masks
+
+
+def pack_block_outputs(out: dict, spec: DemodSpec):
+    """Flatten a block-graph result dict into ONE f32 vector (device op).
+
+    Every per-fetch ``np.asarray(leaf)`` on the tunnelled backend pays a
+    full ~32 ms dispatch round trip, and the result dict has ~17 leaves
+    — ~0.4 s/block, 6x slower than the 68 ms of air a flagship block
+    carries. Packing makes the device->host path ONE ~92 KB transfer.
+    All integer payloads (bits, symbols, centres, counts, shift) are
+    < 2^24 so the f32 round trip is exact; float payloads are f32
+    already (pass-through, -inf SNR included).
+    """
+    parts = [out[k].astype(jnp.float32)
+             for k in ("bits", "trust", "symbols", "centres", "mags")]
+    # leading batch axes supported: scalars become (..., n), E flattens
+    # its trailing (D, M) only
+    parts.append(jnp.stack([out[k].astype(jnp.float32)
+                            for k in PACK_SCALARS], axis=-1))
+    E = out["E"].astype(jnp.float32)
+    parts.append(E.reshape(E.shape[:-2] + (-1,)))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def unpack_block_outputs(vec: np.ndarray, spec: DemodSpec) -> dict:
+    """Host-side inverse of ``pack_block_outputs`` (numpy, zero-copy
+    views where dtypes allow)."""
+    v = np.asarray(vec)
+    S = spec.numSymMax
+    out = {
+        "bits": v[0:S].astype(np.int8),
+        "trust": v[S:2 * S].astype(np.int8),
+        "symbols": v[2 * S:3 * S].astype(np.int32),
+        "centres": v[3 * S:4 * S].astype(np.int32),
+        "mags": v[4 * S:5 * S],
+    }
+    sc = v[5 * S:5 * S + len(PACK_SCALARS)]
+    for i, k in enumerate(PACK_SCALARS):
+        out[k] = sc[i]
+    for k in ("nSym", "nBits", "shift"):
+        out[k] = np.int32(out[k])
+    out["clipped_any"] = bool(out["clipped_any"])
+    out["E"] = v[5 * S + len(PACK_SCALARS):].reshape(spec.D, spec.num_masks)
+    return out
+
+
 def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False,
                         latency_mode: bool = False, dopp_route: str = None,
-                        centres_route: str = None, fft_dtype: str = None):
+                        centres_route: str = None, fft_dtype: str = None,
+                        packed: bool = False):
     """Return ``process_block(samples_ri) -> dict`` jitted for ``spec``.
 
     ``samples_ri``: (2, Nfft) float32 split complex block. All
@@ -66,11 +124,12 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False,
     ``ops.demod_kernels._select_rows_onehot``). Leave False for graphs
     that will be vmapped over a batch, where the gather wins.
 
-    ``dopp_route``: override the wide-grid Doppler evaluation —
-    "corr_dft" (pruned-output DFT contraction, default for D >=
-    CORR_ROUTE_MIN_D) or "corr" (all-N-lags FFT correlation + column
-    gather; smaller constant footprint, for benchmarking route choices).
-    Narrow grids always take the shifted-spectrum matmul.
+    ``dopp_route``: override the Doppler evaluation — "corr_dft"
+    (pruned-output DFT contraction, the default at every grid size) or
+    "corr" (all-N-lags FFT correlation + column gather; smaller
+    constant footprint, for benchmarking route choices) or "matmul"
+    (shifted-spectrum gather + MXU matmul — the fancy gather
+    serializes on the TPU backend, keep for CPU A/B only).
 
     ``centres_route``: override the symbol-detection window scan —
     "window" (sliding-window tree at all positions) or "blockscan"
@@ -85,22 +144,29 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False,
     roof; f32 accumulation; BER-delta-gated, see ops/cfft.py). Pinned
     at trace time, so the returned graph carries the choice regardless
     of the global's later value.
+
+    ``packed``: return ONE flat f32 vector instead of the result dict
+    (``pack_block_outputs`` layout; decode with
+    ``unpack_block_outputs``). The streaming runtime uses this so each
+    block costs exactly one device->host round trip.
     """
     if fft_dtype is None:
         fft_dtype = spec.matmul_dtype
     select_route = "onehot" if latency_mode else "gather"
-    wide = spec.D >= CORR_ROUTE_MIN_D
     if dopp_route is None:
         dopp_route = "corr_dft"
-    elif dopp_route not in ("corr_dft", "corr"):
+    elif dopp_route not in ("corr_dft", "corr", "matmul"):
         raise ValueError(f"unknown dopp_route {dopp_route!r}")
+    corr_routes = dopp_route in ("corr_dft", "corr")
     N = spec.Nfft
     masks_ri = c2ri(spec.masks_f)  # (M, 2, N) f32
-    Q_T = (np.abs(spec.masks_f.astype(np.complex64)) ** 2).T.astype(np.float32)  # (N, M)
-    shift_idx = make_shift_gather_indices(N, spec.dopp_shifts)
-    qf_ri = make_qf_ri(spec.masks_f) if wide else None
+    Q_T = ((np.abs(spec.masks_f.astype(np.complex64)) ** 2).T.astype(np.float32)
+           if dopp_route == "matmul" else None)  # (N, M)
+    shift_idx = (make_shift_gather_indices(N, spec.dopp_shifts)
+                 if dopp_route == "matmul" else None)
+    qf_ri = make_qf_ri(spec.masks_f) if corr_routes else None
     corr_F = (make_corr_dft_F(N, spec.dopp_shifts)
-              if wide and dopp_route == "corr_dft" else None)
+              if dopp_route == "corr_dft" else None)
     dopp_shifts = spec.dopp_shifts.astype(np.int32)
     hz_lut = spec.dopp_hz_lut.astype(np.float32)
     D = spec.D
@@ -134,20 +200,18 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False,
 
         if spec.doppler_search:
             absS = jnp.sqrt(P)
-            if D >= CORR_ROUTE_MIN_D and dopp_route == "corr_dft":
+            if dopp_route == "corr_dft":
                 E = doppler_energy_corr_dft(
                     P, jnp.asarray(qf_ri), jnp.asarray(corr_F),
                     None if static_zero_centre else centre_shift)
-            elif D >= CORR_ROUTE_MIN_D:
+            elif dopp_route == "corr":
                 E = doppler_energy_corr(P, jnp.asarray(qf_ri),
                                         jnp.asarray(dopp_shifts), centre_shift)
             elif static_zero_centre:
                 E = doppler_energy_matmul(P, Q_T, shift_idx)
             else:
-                # narrow grids: rotate the spectrum by the tracking
-                # centre so the static gather probes (k + s_d + centre);
-                # doubled-array dynamic slice, not a traced-index gather
-                # (see ops.demod_kernels._roll_spectrum)
+                # matmul route with a runtime recentre: rotate the
+                # spectrum so the static gather probes (k + s_d + centre)
                 Pc = jax.lax.dynamic_slice_in_dim(
                     jnp.concatenate([P, P]), jnp.mod(centre_shift, N), N
                 )
@@ -256,6 +320,13 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False,
             # the dtype choice is baked into this graph specifically
             with matmul_dtype(fft_dtype):
                 return inner(samples_ri, centre_shift)
+
+    if packed:
+        inner_dict = process_block
+
+        def process_block(samples_ri, centre_shift=np.int32(0)):
+            return pack_block_outputs(inner_dict(samples_ri, centre_shift),
+                                      spec)
 
     if jit:
         kwargs = {"donate_argnums": (0,)} if donate else {}

@@ -52,9 +52,13 @@ class Demodulator:
         self.voteWeight = self.spec.voteWeight
 
         # single-block dispatches take the latency-optimized graph; the
-        # vmapped backlog graphs (self._batched) keep the batch form
+        # vmapped backlog graphs (self._batched) keep the batch form.
+        # packed=True: ONE device->host transfer per block — per-leaf
+        # fetches pay ~17 tunnel round trips (~0.4 s/block, measured;
+        # see dsp.block.pack_block_outputs)
         self._process_block = build_process_block(self.spec, jit=jit,
-                                                  latency_mode=True)
+                                                  latency_mode=True,
+                                                  packed=True)
         self.healer = BlockHealer(
             self.Nfft, self.sigOverlap,
             overlapOffset=self.overlapOffset,
@@ -142,8 +146,15 @@ class Demodulator:
         return self._fetch(self.dispatch(samples))
 
     def _fetch(self, handle):
-        # one bundled device->host transfer
-        self._last = {k: np.asarray(v) for k, v in handle.items()}
+        # ONE device->host transfer: the device graph returns a packed
+        # f32 vector (dict handles still accepted — the BER-delta
+        # harness swaps in a numpy reference arm that returns dicts)
+        if isinstance(handle, dict):
+            self._last = {k: np.asarray(v) for k, v in handle.items()}
+        else:
+            from pycusdr_tpu.dsp.block import unpack_block_outputs
+
+            self._last = unpack_block_outputs(np.asarray(handle), self.spec)
         r = self._last
 
         if not self.spec.doppler_search:
@@ -219,17 +230,18 @@ class Demodulator:
         if fn is None:
             import jax
 
-            core = build_process_block(self.spec, jit=False)
+            core = build_process_block(self.spec, jit=False, packed=True)
             fn = jax.jit(jax.vmap(core))
             self._batched[K] = fn
 
+        from pycusdr_tpu.dsp.block import unpack_block_outputs
+
         ri = np.stack([self._c2ri(b) for b in blocks])
-        res = fn(ri)
-        res = {k: np.asarray(v) for k, v in res.items()}
+        res = np.asarray(fn(ri))  # (K, L) — one transfer for the batch
 
         out = []
         for i in range(K):
-            self._last = {k: v[i] for k, v in res.items()}
+            self._last = unpack_block_outputs(res[i], self.spec)
             r = self._last
             if self.spec.doppler_search:
                 freqOffset = float(r["freq_offset_hz"])

@@ -39,11 +39,13 @@ class DopplerTracker:
         self.track_spec = narrow_spec(self.spec, track_bins, track_span_bins)
 
         # the loop dispatches one block at a time, so build the
-        # single-block (latency-mode) graph variant
+        # single-block (latency-mode) graph variant; packed=True keeps
+        # each block at ONE device->host round trip (see
+        # dsp.block.pack_block_outputs)
         self._acquire = build_process_block(self.spec, jit=jit,
-                                            latency_mode=True)
+                                            latency_mode=True, packed=True)
         self._track = build_process_block(self.track_spec, jit=jit,
-                                          latency_mode=True)
+                                          latency_mode=True, packed=True)
 
         self.history = history
         self.snr_threshold_db = snr_threshold_db
@@ -85,8 +87,11 @@ class DopplerTracker:
         t = self._blocks
         self._blocks += 1
 
+        from pycusdr_tpu.dsp.block import unpack_block_outputs
+
         if self.state == ACQUIRING:
-            res = {k: np.asarray(v) for k, v in self._acquire(samples_ri).items()}
+            res = unpack_block_outputs(np.asarray(self._acquire(samples_ri)),
+                                       self.spec)
             res["mode"] = ACQUIRING
             res["predicted_hz"] = None
             q = float(res["snr_db"])
@@ -103,8 +108,9 @@ class DopplerTracker:
         # TRACKING: recentre the narrow grid on the ramp prediction
         pred_hz = self.predict_hz(t)
         centre = int(round(pred_hz / self.bin_hz)) - self.track_spec.dopp_offset_idx
-        res = {k: np.asarray(v)
-               for k, v in self._track(samples_ri, np.int32(centre)).items()}
+        res = unpack_block_outputs(
+            np.asarray(self._track(samples_ri, np.int32(centre))),
+            self.track_spec)
         res["mode"] = TRACKING
         res["predicted_hz"] = pred_hz
 

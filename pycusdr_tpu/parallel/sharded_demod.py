@@ -33,12 +33,10 @@ from pycusdr_tpu.ops.demod_kernels import (
     threshold_input,
 )
 from pycusdr_tpu.ops.doppler_search import (
-    ABS_SUM_SCALE,
     doppler_energy_corr_dft,
     find_doppler_estimate,
     make_corr_dft_F,
     make_qf_ri,
-    make_shift_gather_indices,
 )
 from pycusdr_tpu.parallel.vote import vote_n_device
 
@@ -105,21 +103,21 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
     channels sharded over the ``channel`` axis (C must divide by
     mesh.shape['channel']).
 
-    Route choices mirror the single-chip graph (dsp/block.py): wide
-    Doppler grids (D >= CORR_ROUTE_MIN_D) evaluate the search with the
-    pruned-output DFT contraction (``ops.doppler_search.
-    doppler_energy_corr_dft``) — here with the mask rows of ``Qf``
-    sharded over the ``dopp`` mesh axis and the phasor matrix ``F``
-    replicated, so each shard contracts (Ml, N) x (N, D) and the
-    cross-shard traffic stays one tiny (D, M) all-gather. Narrow grids
-    keep the shifted-spectrum matmul with the D rows of the gather map
-    sharded. ``latency_mode`` selects the one-hot MXU row select in the
+    Route choices mirror the single-chip graph (dsp/block.py): every
+    Doppler grid evaluates the search with the pruned-output DFT
+    contraction (``ops.doppler_search.doppler_energy_corr_dft``) — here
+    with the mask rows of ``Qf`` sharded over the ``dopp`` mesh axis
+    and the phasor matrix ``F`` replicated, so each shard contracts
+    (Ml, N) x (N, D) and the cross-shard traffic stays one tiny (D, M)
+    all-gather. (The former narrow-grid shifted-spectrum branch is
+    gone for the same reason the single-chip default changed: the
+    (D, N) fancy gather serializes on the TPU backend — 7.3 ms vs
+    ~40 µs at D=16, see dsp/block.py CORR_ROUTE_MIN_D note.)
+    ``latency_mode`` selects the one-hot MXU row select in the
     symbol-slot read (right for single-block streaming dispatch, i.e.
     one channel per chip; leave False when many local channels batch
     the gather).
     """
-    from pycusdr_tpu.dsp.block import CORR_ROUTE_MIN_D
-
     nc = mesh.shape["channel"]
     nd = mesh.shape["dopp"]
     N = spec.Nfft
@@ -132,28 +130,18 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
     # protocols are both supported: the global symbols are known after
     # the cross-shard argmax, so bit extraction is shard-local
     Ml = M // nd
-    wide = spec.doppler_search and D >= CORR_ROUTE_MIN_D
     select_route = "onehot" if latency_mode else "gather"
 
-    if wide:
+    if spec.doppler_search:
         # pruned-output DFT route constants: Qf rows sharded over the
         # mask (= "dopp") axis, inverse-DFT phasor columns replicated
         qf_ri = make_qf_ri(spec.masks_f)          # (M, 2, N)
         corr_F = make_corr_dft_F(N, spec.dopp_shifts)  # (2, N, D)
-        shift_idx_p = np.zeros((nd, 1), np.int32)  # unused placeholder
     else:
-        # doppler grid padded to a multiple of nd (pad rows repeat the
-        # last shift; they are sliced off after the gather)
-        Dp = -(-D // nd) * nd
-        shifts_p = np.concatenate(
-            [spec.dopp_shifts, np.full(Dp - D, spec.dopp_shifts[-1], np.int32)]
-        )
-        shift_idx_p = make_shift_gather_indices(N, shifts_p)  # (Dp, N)
         qf_ri = np.zeros((M, 2, 1), np.float32)   # unused placeholder
         corr_F = np.zeros((2, 1, 1), np.float32)
 
     masks_ri = c2ri(spec.masks_f)  # (M, 2, N) f32
-    Q_T = (np.abs(np.asarray(spec.masks_f, np.complex64)) ** 2).T.astype(np.float32)  # (N, M)
     off_m = spec.code_search_mask_offset
     w_mask = np.zeros(M, np.float32)
     w_mask[off_m : M - off_m] = 1.0
@@ -173,10 +161,9 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
         sum_all_masks=spec.sum_all_masks,
     )
 
-    def step(blocks, shift_idx_l, masks_l, w_mask_l, qf_l, F_r, Q_T_r, hz_r,
-             shifts_r, lut_r):
-        # blocks: local (Cl, 2, N); shift_idx_l: (Dp/nd, N);
-        # masks_l: (Ml, 2, N); qf_l: (Ml, 2, N); F_r: (2, N, D)
+    def step(blocks, masks_l, w_mask_l, qf_l, F_r, hz_r, shifts_r, lut_r):
+        # blocks: local (Cl, 2, N); masks_l: (Ml, 2, N);
+        # qf_l: (Ml, 2, N); F_r: (2, N, D)
         sig = blocks.astype(jnp.float32)
         if not spec.disable_peak_thresholding:
             sig, clipped = jax.vmap(
@@ -188,23 +175,14 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
 
         if spec.doppler_search:
             Pw = S[:, 0] ** 2 + S[:, 1] ** 2  # (Cl, N)
-            if wide:
-                # pruned-output DFT contraction, mask rows local: each
-                # shard redoes the cheap real-input FFT of P (one
-                # transform) and contracts only its Ml masks against
-                # the replicated (N, D) phasor columns
-                E_local = jax.vmap(
-                    lambda p: doppler_energy_corr_dft(p, qf_l, F_r)
-                )(Pw)  # (Cl, D, Ml)
-                E = jax.lax.all_gather(E_local, "dopp", axis=2, tiled=True)
-            else:
-                Pshift = jnp.take(Pw, shift_idx_l, axis=1)  # (Cl, Dl, N)
-                E_local = jax.lax.dot_general(
-                    Pshift, Q_T_r,
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * (N / ABS_SUM_SCALE)  # (Cl, Dl, M)
-                E = jax.lax.all_gather(E_local, "dopp", axis=1, tiled=True)[:, :D]
+            # pruned-output DFT contraction, mask rows local: each
+            # shard redoes the cheap real-input FFT of P (one
+            # transform) and contracts only its Ml masks against
+            # the replicated (N, D) phasor columns
+            E_local = jax.vmap(
+                lambda p: doppler_energy_corr_dft(p, qf_l, F_r)
+            )(Pw)  # (Cl, D, Ml)
+            E = jax.lax.all_gather(E_local, "dopp", axis=2, tiled=True)
             dopp_idx, quality_db = jax.vmap(est)(E)
 
             lowIdx = jnp.clip(jnp.floor(dopp_idx).astype(jnp.int32), 0, D - 1)
@@ -356,12 +334,10 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
         mesh=mesh,
         in_specs=(
             P("channel", None, None),   # blocks
-            P("dopp", None),            # shift gather map (narrow route)
             P("dopp", None, None),      # mask bank
             P("dopp"),                  # mask weight vector
-            P("dopp", None, None),      # Qf power-mask spectra (wide route)
+            P("dopp", None, None),      # Qf power-mask spectra
             P(None, None, None),        # inverse-DFT phasor columns F
-            P(None, None),        # Q_T
             P(None),              # hz lut
             P(None),              # doppler shifts
             # bit LUT (1-D) or NRZ-S symbol LUT (3-D), replicated
@@ -372,12 +348,10 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
     )
 
     dev_consts = (
-        jnp.asarray(shift_idx_p),
         jnp.asarray(masks_ri),
         jnp.asarray(w_mask),
         jnp.asarray(qf_ri),
         jnp.asarray(corr_F),
-        jnp.asarray(Q_T),
         jnp.asarray(hz_lut),
         jnp.asarray(dopp_shifts),
         jnp.asarray(bitLUT if bitLUT is not None else symLUT),

@@ -163,6 +163,7 @@ class ChannelGroup_process(Process):
 
         spec = build_spec(self.conf, self.protocol, self.radios[0])
         core = build_process_block(spec, jit=False)
+        self._pack_spec = spec
         group_fn = jax.jit(
             lambda blocks: self._group_graph(blocks, core, vote_n_device)
         )
@@ -190,51 +191,60 @@ class ChannelGroup_process(Process):
             is the dispatch-time stamp (same meaning as the per-radio
             process: when the signal block was taken, not when its
             results were collected)."""
-            res = {k: np.asarray(v) for k, v in handle.items()}
+            from pycusdr_tpu.dsp.block import packed_len, unpack_block_outputs
+
+            vec = np.asarray(handle)  # the ONE transfer
+            L = packed_len(spec)
+            S = spec.numSymMax
+            chans = [unpack_block_outputs(vec[c * L:(c + 1) * L], spec)
+                     for c in range(C)]
+            bits_voted = vec[C * L: C * L + S]
+            trust_voted = vec[C * L + S: C * L + 2 * S]
 
             snrs = []
-            for c in range(C):
-                nBits = int(res["nBits"][c])
+            for c, r in enumerate(chans):
+                nBits = int(r["nBits"])
                 _, bits, trust, _ = healers[c].heal(
-                    int(np.sum(res["trust"][c][:nBits] == -1)),
-                    res["centres"][c][:nBits], res["symbols"][c][:nBits],
-                    res["bits"][c][:nBits], res["trust"][c][:nBits],
+                    int(np.sum(r["trust"][:nBits] == -1)),
+                    r["centres"][:nBits], r["symbols"][:nBits],
+                    r["bits"][:nBits], r["trust"][:nBits],
                 )
-                snrs.append(float(res["snr_db"][c]))
+                snrs.append(float(r["snr_db"]))
                 ship({
                     "workerId": self.workerIds[c], "count": cnt,
                     "timestamp": ts, "voteGroup": self.voteGroup,
-                    "doppler": float(res["freq_offset_hz"][c]),
+                    "doppler": float(r["freq_offset_hz"]),
                     "doppler_std": 0.0,
                     "data": bits.astype(np.uint8),
                     "trust": trust.astype(np.int8),
-                    "spSymEst": float(res["spSym"][c]),
-                    "SNR": float(res["snr_db"][c]),
+                    "spSymEst": float(r["spSym"]),
+                    "SNR": float(r["snr_db"]),
                     "baudRate": self.baudRate, "baudRate_est":
-                        self.Fs / max(float(res["spSym"][c]), 1e-9),
+                        self.Fs / max(float(r["spSym"]), 1e-9),
                     "sample_rate": self.Fs,
                     "protocol": self.decoderProtocol,
                     "numSlaves": 0,
                 })
 
             # the device-voted stream (numSlaves = C-1 voters)
-            nBits = int(res["nBits"][0])
-            vtrust8 = np.clip(res["trust_voted"][:nBits], -2, 127).astype(np.int8)
+            r0 = chans[0]
+            nBits = int(r0["nBits"])
+            vtrust8 = np.clip(trust_voted[:nBits], -2, 127).astype(np.int8)
             _, vbits, vtrust, _ = healers[-1].heal(
-                0, res["centres"][0][:nBits], res["symbols"][0][:nBits],
-                res["bits_voted"][:nBits].astype(np.int8), vtrust8,
+                0, r0["centres"][:nBits], r0["symbols"][:nBits],
+                bits_voted[:nBits].astype(np.int8), vtrust8,
             )
             ship({
                 "workerId": self.workerIds[0] + "-voted", "count": cnt,
                 "timestamp": ts, "voteGroup": self.voteGroup,
-                "doppler": float(res["freq_offset_hz"][0]),
+                "doppler": float(r0["freq_offset_hz"]),
                 "doppler_std": 0.0,
                 "data": vbits.astype(np.uint8),
                 "trust": vtrust.astype(np.int8),
-                "spSymEst": float(res["spSym"][0]),
+                "spSymEst": float(r0["spSym"]),
                 "SNR": float(np.max(snrs)),
                 "baudRate": self.baudRate,
-                "baudRate_est": self.Fs / max(float(res["spSym"][0]), 1e-9),
+                "baudRate_est": self.Fs / max(float(r0["spSym"]), 1e-9),
                 "sample_rate": self.Fs,
                 "protocol": self.decoderProtocol,
                 "numSlaves": C - 1,
@@ -293,8 +303,9 @@ class ChannelGroup_process(Process):
         import jax
         import jax.numpy as jnp
 
+        from pycusdr_tpu.dsp.block import pack_block_outputs
+
         res = jax.vmap(core)(blocks_ri)
-        res.pop("E")
         # pad slots beyond each channel's own bit count must not vote:
         # mark them distrusted before the reduction
         numSymMax = res["trust"].shape[1]
@@ -303,6 +314,9 @@ class ChannelGroup_process(Process):
         res["trust"] = trust
         voted, vtrust = vote_n_device(res["bits"], trust,
                                       master_weight=self.masterVoteWeight)
-        res["bits_voted"] = voted
-        res["trust_voted"] = vtrust
-        return res
+        # ONE device->host transfer per group dispatch: per-leaf fetches
+        # pay a full tunnel round trip each (see dsp.block.
+        # pack_block_outputs) — (C, L) channel rows + the voted pair
+        flat = pack_block_outputs(res, self._pack_spec).reshape(-1)
+        return jnp.concatenate([flat, voted.astype(jnp.float32),
+                                vtrust.astype(jnp.float32)])

@@ -18,6 +18,14 @@ log = logging.getLogger("pycusdr_tpu." + __name__)
 MAX_TX_DATA_LEN = 255  # the on-air length byte is uint8
 
 
+def _as_u8(data):
+    """Payloads arrive as ndarray from the process layer but as bytes
+    from direct library use (np.asarray rejects bytes for uint8)."""
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        return np.frombuffer(data, dtype=np.uint8)
+    return np.asarray(data, dtype=np.uint8)
+
+
 class Encoder:
     """Base framer: identity pipeline with the standard hooks."""
 
@@ -37,7 +45,7 @@ class Encoder:
         return bitData
 
     def encodeAndFrame(self, data):
-        data = np.asarray(data, dtype=np.uint8)
+        data = _as_u8(data)
         data = self.preframingProcess(data)
         bits = np.unpackbits(data)
         return self.postframingProcess(self.frame(bits))
@@ -54,7 +62,7 @@ class RawEncoder(Encoder):
         self.Flags, self.Header = protocol.initTxHeader()
 
     def encodeAndFrame(self, data):
-        bits = np.asarray(data, dtype=np.uint8)
+        bits = _as_u8(data)
         if bits.max(initial=0) > 1:  # bytes given, expand
             bits = np.unpackbits(bits)
         return np.r_[self.Flags, self.Header, bits].astype(np.uint8)
@@ -85,7 +93,7 @@ class CC11xxEncoder(Encoder):
     def encodeAndFrame(self, data):
         from pycusdr_tpu.tx import DataLengthError
 
-        data = np.asarray(data, dtype=np.uint8)
+        data = _as_u8(data)
         dataLen = len(data) + 2  # CRC included in the length count
         if dataLen > MAX_TX_DATA_LEN:
             raise DataLengthError(
@@ -125,7 +133,7 @@ class AX25Encoder(Encoder):
             nrzi_encode,
         )
 
-        frame = build_ui_frame(np.asarray(data, np.uint8))
+        frame = build_ui_frame(_as_u8(data))
         stuffed = bit_stuff(bytes_to_bits_lsb(frame))
         bits = np.r_[self.preFlags, stuffed, self.postFlags].astype(np.uint8)
         if getattr(self.protocol, "nrzi", True):
@@ -150,7 +158,7 @@ class CCSDSEncoder(Encoder):
     def encodeAndFrame(self, data):
         from pycusdr_tpu.protocol.ccsds import RS_K
 
-        payload = np.asarray(data, np.uint8)
+        payload = _as_u8(data)
         if len(payload) > RS_K:
             raise ValueError(f"CCSDS payload must be <= {RS_K} bytes, got {len(payload)}")
         if len(payload) < RS_K:  # virtual fill (zero padding) per CCSDS

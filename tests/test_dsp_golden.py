@@ -270,6 +270,33 @@ def test_find_centres_grouped_select_bit_identical(scan_route):
                 f"output {i} differs (clip={cm is not None})"
 
 
+def test_packed_output_roundtrip(bench_conf):
+    """The packed single-vector graph (one device->host transfer per
+    block — the streaming runtime's fetch format) must decode to
+    exactly the dict graph's outputs: integer payloads bit-exact,
+    float payloads identical f32 pass-through."""
+    from pycusdr_tpu.dsp.block import build_process_block, unpack_block_outputs
+    from pycusdr_tpu.dsp.spec import build_spec
+    from pycusdr_tpu.ops.cfft import c2ri
+    from pycusdr_tpu.protocol import loadProtocol
+
+    protocol = loadProtocol("bench_GFSK")(conf=bench_conf)
+    spec = build_spec(bench_conf, protocol, "UHF-H")
+    a = build_process_block(spec, jit=True)
+    b = build_process_block(spec, jit=True, packed=True)
+
+    rng = np.random.RandomState(3)
+    sig = c2ri((rng.randn(spec.Nfft) + 1j * rng.randn(spec.Nfft))
+               .astype(np.complex64))
+    ra = {k: np.asarray(v) for k, v in a(sig).items()}
+    rb = unpack_block_outputs(np.asarray(b(sig)), spec)
+    assert set(ra) == set(rb)
+    for k in ra:
+        va, vb = np.asarray(ra[k]), np.asarray(rb[k])
+        assert va.dtype.kind == "b" or np.array_equal(
+            va.astype(np.float32), vb.astype(np.float32)), k
+
+
 def test_dopp_route_corr_matches_default(bench_conf):
     """The all-lags correlation Doppler route (dopp_route='corr', the
     benchmarking alternative) must make the same decisions as the
