@@ -118,6 +118,11 @@ def main(argv=None):
     ap.add_argument("--interval", type=float, default=4.0,
                     help="seconds between synthesized packets")
     ap.add_argument("--payload-len", type=int, default=100)
+    ap.add_argument("--vary-payload", action="store_true",
+                    help="new payload per burst (seed+k) — identical "
+                         "payloads repeated faster than the decoder's "
+                         "MD5-dedup window (decoder.packetCheckHist"
+                         "Timeout) are dropped as cross-channel dupes")
     ap.add_argument("--doppler-max", type=float, default=0.0,
                     help="S-curve Doppler amplitude in Hz")
     ap.add_argument("--pass-duration", type=float, default=120.0,
@@ -180,6 +185,7 @@ def main(argv=None):
     phase = 0.0
     pos = 0  # position in capture / burst schedule
     burst_at = 1.0  # first packet after 1 s of noise floor
+    burst_idx = 0
     active = None  # (burst array, offset)
     sent = 0
     print("streaming (ctrl-c to stop)...")
@@ -196,6 +202,11 @@ def main(argv=None):
                 chunk = noise_amp * (rng.randn(CHUNK) + 1j * rng.randn(CHUNK)
                                      ).astype(np.complex64) * np.float32(0.7071)
                 if active is None and t >= burst_at:
+                    if args.vary_payload and burst_idx > 0:
+                        burst = synth_packet(conf, radios[0],
+                                             args.payload_len,
+                                             args.seed + burst_idx)
+                    burst_idx += 1
                     # scale the burst to the requested SNR over the floor
                     bp = np.mean(np.abs(burst) ** 2) or 1.0
                     scale = np.sqrt(0.05 * 10 ** (args.snr / 10) / bp)
@@ -233,7 +244,9 @@ def main(argv=None):
         for sink in sinks:
             sink.running = False
         for s in pubs.values():
-            s.close()
+            # don't block shutdown on a slow subscriber's backlog
+            # (default LINGER is infinite)
+            s.close(linger=500)
         ctx.term()
         print(f"\nstreamed {sent} samples ({sent / fs:.1f} s of signal), "
               f"{sum(s.n for s in sinks)} Tx bursts received")

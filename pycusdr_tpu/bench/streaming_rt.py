@@ -42,7 +42,7 @@ EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "..", "examples",
                         "gnuradio")
 
 
-def _build_conf(basePort, pipelineDepth, payload_seed):
+def _build_conf(basePort, pipelineDepth, payload_seed, max_batch=None):
     conf = load_modular_json(os.path.join(CONF_DIR, "CC11xx.json"))
     p = basePort
     rx = conf["Radios"]["Rx"]["UHF-H"]
@@ -63,12 +63,15 @@ def _build_conf(basePort, pipelineDepth, payload_seed):
     conf["Interfaces"]["External"]["XMLRpcIn"] = f"127.0.0.1:{p + 103}"
     conf["decoder"] = dict(conf.get("decoder", {}), statsPort=p + 104)
     conf["GPU"]["UHF"].setdefault("TPU", {})["pipelineDepth"] = pipelineDepth
+    if max_batch is not None:
+        conf["GPU"]["UHF"]["TPU"]["maxBatchBlocks"] = max_batch
     return conf
 
 
 def run_point(speed, duration_signal_s, *, basePort, pipelineDepth=2,
               snr_db=18.0, interval=3.0, payload_len=48, seed=1234,
-              ready_timeout=180.0, verbose=True, log_v=0):
+              ready_timeout=180.0, verbose=True, log_v=0, drain_s=20.0,
+              max_batch=None):
     """One speed point. ``duration_signal_s`` is SIGNAL seconds (the
     wall-clock run is duration/speed + warm-up + drain)."""
     import zmq
@@ -78,13 +81,19 @@ def run_point(speed, duration_signal_s, *, basePort, pipelineDepth=2,
     sys.path.insert(0, EXAMPLES)
     import sim_frontend
 
-    conf = _build_conf(basePort, pipelineDepth, seed)
+    conf = _build_conf(basePort, pipelineDepth, seed, max_batch)
     rxc = conf["Radios"]["Rx"]["UHF-H"]
     fs = rxc["baud"] * rxc["samplesPerSym"]
 
-    # the front-end's payload bytes are deterministic in the seed
-    expected = np.random.RandomState(seed).randint(
-        0, 256, payload_len).astype(np.uint8)
+    # the front-end's payload bytes are deterministic: burst k carries
+    # RandomState(seed + k) bytes (--vary-payload — distinct payloads,
+    # or the decoder's cross-channel MD5 dedup eats identical packets
+    # that arrive inside its 1 s window during catch-up)
+    expected = {
+        np.random.RandomState(seed + k).randint(0, 256, payload_len)
+        .astype(np.uint8).tobytes()
+        for k in range(256)
+    }
 
     import tempfile
 
@@ -125,20 +134,29 @@ def run_point(speed, duration_signal_s, *, basePort, pipelineDepth=2,
         else:
             print("warning: demod child not confirmed ready before deadline",
                   file=sys.stderr)
-        warm_pub.close()
-        time.sleep(0.5)  # release the bind before the front-end takes it
+        warm_pub.close(linger=0)
+        # backlog drain: while the child compiled (~25-55 s on the TPU
+        # tunnel) the warm-up noise filled the PUB+SUB queues (~8.6 s of
+        # samples at the default HWMs); let the child consume it so the
+        # paced run starts near lag zero. Some seam remains (it shows up
+        # as missed packets in the first ~10 s under tunnel load), which
+        # is why the JSON also reports the STEADY-STATE second half —
+        # a real front-end has no pre-start backlog at all (GNU Radio
+        # only produces once the SDR streams).
+        time.sleep(12.0)
 
         t_wall0 = time.time()
         fe = threading.Thread(
             target=sim_frontend.main,
             args=([ "-c", conf_path, "--snr", str(snr_db),
                     "--interval", str(interval),
-                    "--payload-len", str(payload_len),
+                    "--payload-len", str(payload_len), "--vary-payload",
                     "--duration", str(duration_signal_s / speed),
                     "--speed", str(speed), "--seed", str(seed)],),
             daemon=True)
         fe.start()
-        t_end = t_wall0 + duration_signal_s / speed + 20.0  # drain
+        arrive = []
+        t_end = t_wall0 + duration_signal_s / speed + drain_s
         while time.time() < t_end:
             try:
                 raw = sink.recv()
@@ -147,9 +165,8 @@ def run_point(speed, duration_signal_s, *, basePort, pipelineDepth=2,
                     break
                 continue
             got.append(raw)
-            b = np.frombuffer(raw, np.uint8)
-            if len(b) >= len(expected) and np.array_equal(
-                    b[:len(expected)], expected):
+            arrive.append(round(time.time() - t_wall0, 1))
+            if bytes(raw[:payload_len]) in expected:
                 exact += 1
         fe.join(timeout=30)
     finally:
@@ -172,6 +189,13 @@ def run_point(speed, duration_signal_s, *, basePort, pipelineDepth=2,
         "packets_scheduled": n_expected,
         "packets_decoded": len(got),
         "packets_bit_exact": exact,
+        "arrival_s": arrive,
+        # steady state = bursts scheduled in the second half of the
+        # stream (warm-up seam excluded; see the drain note above)
+        "steady_scheduled": n_expected - (n_expected + 1) // 2,
+        "steady_decoded": sum(1 for a in arrive
+                              if a >= 1.0 + ((n_expected + 1) // 2)
+                              * interval / speed),
     }
     if verbose:
         print(json.dumps(row), flush=True)

@@ -305,6 +305,16 @@ def _select_rows_onehot(packed: jnp.ndarray, A: jnp.ndarray, Q: int = 128):
     (~2x faster at batch 1, measured). The batched/vmapped path keeps
     the gather — at B=64 the gather amortizes and the matmul's 64x
     FLOPs would lose.
+
+    precision=HIGHEST is CORRECTNESS, not tuning: the TPU's default
+    matmul precision truncates f32 operands toward bfloat16, and the
+    payload column carries packed integers up to ~2^23 — at default
+    precision the select returns quantized garbage on real hardware
+    (found on-chip: every latency-mode packet failed to decode while
+    the gather route decoded; CPU tests could not catch it because CPU
+    matmuls are always full f32). With HIGHEST the operands are split
+    exactly (payload < 2^24 and one-hot 0/1 are exact in the 3-part
+    bf16 decomposition), restoring the bit-exact guarantee.
     """
     n_rows, C = packed.shape
     G = -(-n_rows // Q)
@@ -313,9 +323,11 @@ def _select_rows_onehot(packed: jnp.ndarray, A: jnp.ndarray, Q: int = 128):
     r = A % Q
     oq = (q[:, None] == jnp.arange(G, dtype=A.dtype)[None, :]).astype(jnp.float32)
     tmp = jnp.einsum("sg,gk->sk", oq, p2,
-                     preferred_element_type=jnp.float32).reshape(-1, Q, C)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST).reshape(-1, Q, C)
     orr = (r[:, None] == jnp.arange(Q, dtype=A.dtype)[None, :]).astype(jnp.float32)
-    return jnp.einsum("sq,sqc->sc", orr, tmp)
+    return jnp.einsum("sq,sqc->sc", orr, tmp,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 #: window-scan evaluation inside find_centres: "window" precomputes the
@@ -366,8 +378,11 @@ def _select_rows_grouped(packed: jnp.ndarray, A: jnp.ndarray, sp_max: float,
     rel = Ag - (q * Tp)[:, None]             # (Sg, G) in [0, 2*Tp)
     sel = (rel[:, :, None] == jnp.arange(2 * Tp, dtype=A.dtype)[None, None, :]
            ).astype(packed.dtype)            # exact 0/1
+    # HIGHEST: the payload ints exceed bf16's mantissa — default TPU
+    # matmul precision would quantize them (see _select_rows_onehot)
     R = jnp.einsum("sgt,stc->sgc", sel, patch,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     return R.reshape(Sg * G, C)[:S]
 
 
