@@ -240,7 +240,8 @@ def build_prefix_fns_stx(spec, latency_mode=False):
     masks_ri = jnp.asarray(c2ri(spec.masks_f))
     bitLUT = jnp.asarray(spec.bitLUT.astype(np.int8))
     shift = jnp.int32(spec.dopp_offset_idx)
-    route = "onehot" if latency_mode else "gather"
+    # gather in BOTH modes since the precision fix (see dsp/block.py)
+    route = "gather"
 
     rng = np.random.RandomState(7)
     sig0 = c2ri((rng.randn(N) + 1j * rng.randn(N)).astype(np.complex64))
@@ -495,7 +496,7 @@ def build_prefix_fns(spec, latency_mode=False):
             symbols, centres, mags, nSym, spc = find_centres(
                 P2, spSym, codeOffset, Nfft=N, windowWidth=spec.windowWidth,
                 spsymMin=spec.spsymMin, numSymMax=spec.numSymMax,
-                select_route="onehot" if latency_mode else "gather")
+                select_route="gather")  # post-precision-fix default
             if stop == "centres":
                 return (symbols.sum() + centres.sum()).astype(jnp.float32) \
                     + mags.sum() + spc + doppler_hz

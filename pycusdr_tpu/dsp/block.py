@@ -112,17 +112,21 @@ def unpack_block_outputs(vec: np.ndarray, spec: DemodSpec) -> dict:
 def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False,
                         latency_mode: bool = False, dopp_route: str = None,
                         centres_route: str = None, fft_dtype: str = None,
-                        packed: bool = False):
+                        packed: bool = False, select_route: str = None):
     """Return ``process_block(samples_ri) -> dict`` jitted for ``spec``.
 
     ``samples_ri``: (2, Nfft) float32 split complex block. All
     spec-derived constants are closed over as numpy (embedded by XLA).
 
-    ``latency_mode``: build the graph for SINGLE-block dispatch — the
-    symbol-slot row select runs as a bit-exact one-hot MXU matmul
-    instead of a gather (~2x faster unbatched, measured; see
-    ``ops.demod_kernels._select_rows_onehot``). Leave False for graphs
-    that will be vmapped over a batch, where the gather wins.
+    ``latency_mode``: build the graph for SINGLE-block dispatch.
+    HISTORY: this used to select the one-hot MXU slot read, which
+    measured 2x faster than the gather at B=1 — but that measurement
+    predated the precision fix (the one-hot ran at default TPU matmul
+    precision, i.e. it was fast AND wrong on hardware). With
+    precision=HIGHEST the one-hot costs 209 µs/block vs the gather's
+    141 µs at B=1 (measured on-chip 2026-08-19), so BOTH modes now take
+    the gather and the flag is kept only for API stability /
+    measurement labelling. ``select_route`` overrides for A/B.
 
     ``dopp_route``: override the Doppler evaluation — "corr_dft"
     (pruned-output DFT contraction, the default at every grid size) or
@@ -152,7 +156,8 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False,
     """
     if fft_dtype is None:
         fft_dtype = spec.matmul_dtype
-    select_route = "onehot" if latency_mode else "gather"
+    if select_route is None:
+        select_route = "gather"
     if dopp_route is None:
         dopp_route = "corr_dft"
     elif dopp_route not in ("corr_dft", "corr", "matmul"):

@@ -113,10 +113,9 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
     gone for the same reason the single-chip default changed: the
     (D, N) fancy gather serializes on the TPU backend — 7.3 ms vs
     ~40 µs at D=16, see dsp/block.py CORR_ROUTE_MIN_D note.)
-    ``latency_mode`` selects the one-hot MXU row select in the
-    symbol-slot read (right for single-block streaming dispatch, i.e.
-    one channel per chip; leave False when many local channels batch
-    the gather).
+    ``latency_mode`` is kept for API stability; both modes now take
+    the gather slot read (the one-hot select lost its B=1 edge once it
+    had to run at precision=HIGHEST — see dsp/block.py).
     """
     nc = mesh.shape["channel"]
     nd = mesh.shape["dopp"]
@@ -130,7 +129,10 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
     # protocols are both supported: the global symbols are known after
     # the cross-shard argmax, so bit extraction is shard-local
     Ml = M // nd
-    select_route = "onehot" if latency_mode else "gather"
+    # both modes take the gather slot read now: with precision=HIGHEST
+    # (required for correctness on hardware) the one-hot select lost
+    # its B=1 advantage (209 vs 141 µs/block, see dsp/block.py)
+    select_route = "gather"
 
     if spec.doppler_search:
         # pruned-output DFT route constants: Qf rows sharded over the
