@@ -42,7 +42,7 @@ EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "..", "examples",
                         "gnuradio")
 
 
-def _build_conf(basePort, pipelineDepth, payload_seed, max_batch=None):
+def _build_conf(basePort, pipelineDepth, max_batch=None):
     conf = load_modular_json(os.path.join(CONF_DIR, "CC11xx.json"))
     p = basePort
     rx = conf["Radios"]["Rx"]["UHF-H"]
@@ -81,7 +81,7 @@ def run_point(speed, duration_signal_s, *, basePort, pipelineDepth=2,
     sys.path.insert(0, EXAMPLES)
     import sim_frontend
 
-    conf = _build_conf(basePort, pipelineDepth, seed, max_batch)
+    conf = _build_conf(basePort, pipelineDepth, max_batch)
     rxc = conf["Radios"]["Rx"]["UHF-H"]
     fs = rxc["baud"] * rxc["samplesPerSym"]
 
@@ -191,11 +191,14 @@ def run_point(speed, duration_signal_s, *, basePort, pipelineDepth=2,
         "packets_bit_exact": exact,
         "arrival_s": arrive,
         # steady state = bursts scheduled in the second half of the
-        # stream (warm-up seam excluded; see the drain note above)
+        # stream (warm-up seam excluded; see the drain note above). The
+        # schedule runs on the SAMPLE clock, so burst h0's wall time is
+        # (1 + h0*interval)/speed — divide the whole expression, not
+        # just the interval term
         "steady_scheduled": n_expected - (n_expected + 1) // 2,
-        "steady_decoded": sum(1 for a in arrive
-                              if a >= 1.0 + ((n_expected + 1) // 2)
-                              * interval / speed),
+        "steady_decoded": sum(
+            1 for a in arrive
+            if a >= (1.0 + ((n_expected + 1) // 2) * interval) / speed),
     }
     if verbose:
         print(json.dumps(row), flush=True)

@@ -158,6 +158,13 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False,
         fft_dtype = spec.matmul_dtype
     if select_route is None:
         select_route = "gather"
+    elif select_route not in ("gather", "onehot", "grouped"):
+        raise ValueError(f"unknown select_route {select_route!r}")
+    if centres_route not in (None, "window", "blockscan"):
+        raise ValueError(f"unknown centres_route {centres_route!r}")
+    # static slot-stride bound for the grouped patch-gather route: the
+    # timing band guarantees spSym <= Nfft / code_idx_lo
+    sp_max = float(spec.Nfft) / max(spec.code_idx_lo, 1)
     if dopp_route is None:
         dopp_route = "corr_dft"
     elif dopp_route not in ("corr_dft", "corr", "matmul"):
@@ -270,13 +277,14 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False,
                 P2, spSym, codeOffset, Nfft=N, windowWidth=spec.windowWidth,
                 spsymMin=spec.spsymMin, numSymMax=spec.numSymMax,
                 clip_mask=clip_dil, select_route=select_route,
-                scan_route=centres_route,
+                scan_route=centres_route, sp_max=sp_max,
             )
         else:
             symbols, centres, mags, nSym, spc = find_centres(
                 P2, spSym, codeOffset, Nfft=N, windowWidth=spec.windowWidth,
                 spsymMin=spec.spsymMin, numSymMax=spec.numSymMax,
                 select_route=select_route, scan_route=centres_route,
+                sp_max=sp_max,
             )
 
         trust = jnp.full((spec.numSymMax,), trust_normal, dtype=jnp.int8)

@@ -132,22 +132,14 @@ def _window_scan_tree(V, payload, W):
     return arrs[0], arrs[1]
 
 
-def _window_scan_vanherk(V, payload, W):
-    """van Herk / Gil-Werman window max: a block prefix scan + a block
-    suffix scan + one combine — ~2(W-1)/W + 1 array passes total,
-    independent of W, vs the tree's ~2·ceil(log2 W) full passes. Scan
-    steps touch (rows, nBlocks) slices, so the whole thing is ~3 HBM
-    passes. Tie-break is kept bit-identical to the tree (earliest index
-    wins): scans replace their accumulator only on strictly-greater,
-    and the combine prefers the suffix (earlier) segment on ties.
-    """
-    M, L = V.shape
-    nb = -(-(L + W - 1) // W)
-    padn = nb * W - L
-    Vp = jnp.concatenate([V, jnp.full((M, padn), -1.0, V.dtype)],
-                         axis=1).reshape(M, nb, W)
-    Pp = jnp.concatenate([payload, jnp.zeros((M, padn), payload.dtype)],
-                         axis=1).reshape(M, nb, W)
+def _block_scan_prefix_suffix(Vp, Pp, W: int):
+    """Per-aligned-block max prefix and suffix scans with the
+    earliest-index tie-break (accumulators replace only on
+    strictly-greater, so earlier columns win ties — the single source
+    of the invariant shared by the vanherk window scan and the
+    blockscan slot route). Vp/Pp: (..., nb, W); returns
+    (pref_v, pref_p, suf_v, suf_p), each (..., nb*W)."""
+    flat = Vp.shape[:-2] + (Vp.shape[-2] * W,)
 
     pv, pp = Vp[..., 0], Pp[..., 0]
     prefs = [(pv, pp)]
@@ -157,8 +149,8 @@ def _window_scan_vanherk(V, payload, W):
         pv = jnp.where(take, nv, pv)
         pp = jnp.where(take, np_, pp)
         prefs.append((pv, pp))
-    pref_v = jnp.stack([a for a, _ in prefs], axis=-1).reshape(M, nb * W)
-    pref_p = jnp.stack([b for _, b in prefs], axis=-1).reshape(M, nb * W)
+    pref_v = jnp.stack([a for a, _ in prefs], axis=-1).reshape(flat)
+    pref_p = jnp.stack([b for _, b in prefs], axis=-1).reshape(flat)
 
     sv, sp = Vp[..., W - 1], Pp[..., W - 1]
     sufs = [(sv, sp)]
@@ -169,8 +161,29 @@ def _window_scan_vanherk(V, payload, W):
         sp = jnp.where(keep, sp, cp)
         sufs.append((sv, sp))
     sufs.reverse()
-    suf_v = jnp.stack([a for a, _ in sufs], axis=-1).reshape(M, nb * W)
-    suf_p = jnp.stack([b for _, b in sufs], axis=-1).reshape(M, nb * W)
+    suf_v = jnp.stack([a for a, _ in sufs], axis=-1).reshape(flat)
+    suf_p = jnp.stack([b for _, b in sufs], axis=-1).reshape(flat)
+    return pref_v, pref_p, suf_v, suf_p
+
+
+def _window_scan_vanherk(V, payload, W):
+    """van Herk / Gil-Werman window max: a block prefix scan + a block
+    suffix scan + one combine — ~2(W-1)/W + 1 array passes total,
+    independent of W, vs the tree's ~2·ceil(log2 W) full passes. Scan
+    steps touch (rows, nBlocks) slices, so the whole thing is ~3 HBM
+    passes. Tie-break is kept bit-identical to the tree (earliest index
+    wins): see _block_scan_prefix_suffix; the combine prefers the
+    suffix (earlier) segment on ties.
+    """
+    M, L = V.shape
+    nb = -(-(L + W - 1) // W)
+    padn = nb * W - L
+    Vp = jnp.concatenate([V, jnp.full((M, padn), -1.0, V.dtype)],
+                         axis=1).reshape(M, nb, W)
+    Pp = jnp.concatenate([payload, jnp.zeros((M, padn), payload.dtype)],
+                         axis=1).reshape(M, nb, W)
+
+    pref_v, pref_p, suf_v, suf_p = _block_scan_prefix_suffix(Vp, Pp, W)
 
     # window j = max(suffix-of-block at j, prefix at j+W-1); the suffix
     # segment is earlier, so it wins ties
@@ -264,28 +277,7 @@ def _blockscan_pack(Vcol: jnp.ndarray, pay: jnp.ndarray, W: int):
     Vp = jnp.concatenate([Vcol, jnp.full((padn,), -1.0, Vcol.dtype)]).reshape(nb, W)
     Pp = jnp.concatenate([pay, jnp.zeros((padn,), pay.dtype)]).reshape(nb, W)
 
-    pv, pp = Vp[:, 0], Pp[:, 0]
-    prefs = [(pv, pp)]
-    for i in range(1, W):
-        nv, np_ = Vp[:, i], Pp[:, i]
-        take = nv > pv  # strictly greater: earlier index wins ties
-        pv = jnp.where(take, nv, pv)
-        pp = jnp.where(take, np_, pp)
-        prefs.append((pv, pp))
-    pref_v = jnp.stack([a for a, _ in prefs], axis=1).reshape(nb * W)
-    pref_p = jnp.stack([b for _, b in prefs], axis=1).reshape(nb * W)
-
-    sv, sp = Vp[:, W - 1], Pp[:, W - 1]
-    sufs = [(sv, sp)]
-    for i in range(W - 2, -1, -1):
-        cv, cp = Vp[:, i], Pp[:, i]
-        keep = sv > cv  # the (earlier) current element wins ties
-        sv = jnp.where(keep, sv, cv)
-        sp = jnp.where(keep, sp, cp)
-        sufs.append((sv, sp))
-    sufs.reverse()
-    suf_v = jnp.stack([a for a, _ in sufs], axis=1).reshape(nb * W)
-    suf_p = jnp.stack([b for _, b in sufs], axis=1).reshape(nb * W)
+    pref_v, pref_p, suf_v, suf_p = _block_scan_prefix_suffix(Vp, Pp, W)
 
     # shift the prefix row to j+W-1 so ONE row read serves both halves
     pv_sh = jnp.concatenate([pref_v[W - 1:], jnp.full((W - 1,), -1.0, pref_v.dtype)])

@@ -26,7 +26,7 @@ from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from pycusdr_tpu.dsp.spec import DemodSpec
-from pycusdr_tpu.ops.cfft import band_dft_real, c2ri, fft_real_ri, fft_ri
+from pycusdr_tpu.ops.cfft import band_dft_real, c2ri, fft_ri
 from pycusdr_tpu.ops.demod_kernels import (
     apply_best_doppler_power,
     compute_snr,
@@ -96,7 +96,7 @@ def _local_find_centres(P2_local, spSym, codeOffset, *, Nfft, windowWidth, spsym
 
 def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
                              master_idx: int = 0, master_weight: float = 1.2,
-                             latency_mode: bool = False):
+                             select_route: str = "gather"):
     """Return ``step(blocks) -> dict`` jitted over ``mesh``.
 
     ``blocks``: (C, 2, Nfft) float32 split complex (see ops/cfft.py),
@@ -113,9 +113,15 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
     gone for the same reason the single-chip default changed: the
     (D, N) fancy gather serializes on the TPU backend — 7.3 ms vs
     ~40 µs at D=16, see dsp/block.py CORR_ROUTE_MIN_D note.)
-    ``latency_mode`` is kept for API stability; both modes now take
-    the gather slot read (the one-hot select lost its B=1 edge once it
-    had to run at precision=HIGHEST — see dsp/block.py).
+    ``select_route``: slot-read evaluation in the local symbol argmax —
+    "gather" (default; the one-hot alternative lost its B=1 edge once
+    it had to run at precision=HIGHEST, see dsp/block.py) or "onehot"
+    for A/B measurement.
+
+    The DFT-factor matmul dtype follows ``spec.matmul_dtype`` (the
+    config's ``matmulDtype`` knob), pinned at trace time exactly like
+    the single-chip graph, so a bf16 deployment runs the same numerics
+    sharded and unsharded.
     """
     nc = mesh.shape["channel"]
     nd = mesh.shape["dopp"]
@@ -129,10 +135,8 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
     # protocols are both supported: the global symbols are known after
     # the cross-shard argmax, so bit extraction is shard-local
     Ml = M // nd
-    # both modes take the gather slot read now: with precision=HIGHEST
-    # (required for correctness on hardware) the one-hot select lost
-    # its B=1 advantage (209 vs 141 µs/block, see dsp/block.py)
-    select_route = "gather"
+    if select_route not in ("gather", "onehot"):
+        raise ValueError(f"unknown select_route {select_route!r}")
 
     if spec.doppler_search:
         # pruned-output DFT route constants: Qf rows sharded over the
@@ -360,9 +364,16 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
     )
     blocks_sharding = NamedSharding(mesh, P("channel", None, None))
 
-    @jax.jit
-    def run(blocks):
+    def run_impl(blocks):
         blocks = jax.lax.with_sharding_constraint(blocks, blocks_sharding)
+        if spec.matmul_dtype is not None:
+            # pin the DFT-factor operand dtype at TRACE time, same as
+            # dsp.block.build_process_block — sharded and single-chip
+            # deployments of one config must run the same numerics
+            from pycusdr_tpu.ops.cfft import matmul_dtype
+
+            with matmul_dtype(spec.matmul_dtype):
+                return sharded(blocks, *dev_consts)
         return sharded(blocks, *dev_consts)
 
-    return run
+    return jax.jit(run_impl)
