@@ -94,6 +94,63 @@ def _local_find_centres(P2_local, spSym, codeOffset, *, Nfft, windowWidth, spsym
     return val, k_win, m_sel, x, spc, comp, nSym
 
 
+def _build_channel_parallel_step(spec: DemodSpec, mesh, vote: bool,
+                                 master_idx: int, master_weight: float):
+    """nd == 1 specialization: vmap the single-chip graph over the
+    local channels inside shard_map; the only collective is the
+    diversity vote's bits/trust all-gather on the ``channel`` axis."""
+    from pycusdr_tpu.dsp.block import build_process_block
+
+    core = build_process_block(spec, jit=False)
+    numSymMax = spec.numSymMax
+    keys = ("bits", "trust", "symbols", "centres", "mags", "nSym", "nBits",
+            "spSym", "doppler_hz", "freq_offset_hz", "quality_db",
+            "snr_db", "shift")
+
+    def step(blocks):
+        res = jax.vmap(core)(blocks.astype(jnp.float32))
+        out = {k: res[k] for k in keys}
+        if vote:
+            # pad slots beyond each channel's own bit count must not
+            # vote (same masking as runtime/channel_group_process.py)
+            slot = jnp.arange(numSymMax, dtype=jnp.int32)[None, :]
+            tv = jnp.where(slot < res["nBits"][:, None], res["trust"],
+                           jnp.int8(-1))
+            bits_all = jax.lax.all_gather(res["bits"], "channel", axis=0,
+                                          tiled=True)
+            trust_all = jax.lax.all_gather(tv, "channel", axis=0, tiled=True)
+            voted, vtrust = vote_n_device(bits_all, trust_all, master_idx,
+                                          master_weight)
+            out["bits_voted"] = voted
+            out["trust_voted"] = vtrust
+        return out
+
+    ch = P("channel", None)
+    out_specs = {
+        "bits": ch, "trust": ch, "symbols": ch, "centres": ch, "mags": ch,
+        "nSym": P("channel"), "nBits": P("channel"), "spSym": P("channel"),
+        "doppler_hz": P("channel"),
+        "freq_offset_hz": P("channel"), "quality_db": P("channel"),
+        "snr_db": P("channel"), "shift": P("channel"),
+    }
+    if vote:
+        out_specs["bits_voted"] = P()
+        out_specs["trust_voted"] = P()
+
+    sharded = shard_map(step, mesh=mesh,
+                        in_specs=(P("channel", None, None),),
+                        out_specs=out_specs, check_vma=False)
+    blocks_sharding = NamedSharding(mesh, P("channel", None, None))
+
+    def run_impl(blocks):
+        blocks = jax.lax.with_sharding_constraint(blocks, blocks_sharding)
+        # matmul dtype is pinned inside build_process_block via
+        # spec.matmul_dtype, so no extra wrapper is needed here
+        return sharded(blocks)
+
+    return jax.jit(run_impl)
+
+
 def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
                              master_idx: int = 0, master_weight: float = 1.2,
                              select_route: str = "gather"):
@@ -137,6 +194,17 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
     Ml = M // nd
     if select_route not in ("gather", "onehot"):
         raise ValueError(f"unknown select_route {select_route!r}")
+
+    if nd == 1:
+        # pure channel parallelism (the common deployment shape): no
+        # tensor-parallel split to reconcile, so run the EXACT
+        # single-chip graph vmapped over the local channels — same
+        # routes, same fusion, bit-identical by construction — and keep
+        # only the vote collective. The generic two-stage local/global
+        # argmax below costs ~25% at B=16 (514 vs 718 Msps/chip
+        # measured) purely in formulation, not communication.
+        return _build_channel_parallel_step(spec, mesh, vote, master_idx,
+                                            master_weight)
 
     if spec.doppler_search:
         # pruned-output DFT route constants: Qf rows sharded over the

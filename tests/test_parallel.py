@@ -64,6 +64,38 @@ def test_sharded_step_matches_single_chip(tiny):
     )
 
 
+def test_channel_only_mesh_specialization_matches(tiny):
+    """nd == 1 takes the vmapped single-chip-graph fast path (the
+    common pure-channel-parallel deployment); it must be bit-identical
+    to the single-chip graph AND make the same vote decision as the
+    generic channel x dopp program."""
+    mesh1 = make_mesh({"channel": 4, "dopp": 1})
+    mesh2 = make_mesh({"channel": 4, "dopp": 2})
+    step1 = build_sharded_demod_step(tiny, mesh1)
+    step2 = build_sharded_demod_step(tiny, mesh2)
+    _, blocks = _fsk_blocks(tiny, 4)
+
+    r1 = step1(c2ri(blocks))
+    r2 = step2(c2ri(blocks))
+    single = build_process_block(tiny, jit=True)
+
+    for c in range(4):
+        ref = {k: np.asarray(v) for k, v in single(c2ri(blocks[c])).items()}
+        n = int(ref["nBits"])
+        for k in ("bits", "symbols", "centres"):
+            np.testing.assert_array_equal(
+                np.asarray(r1[k])[c, :n], ref[k][:n],
+                err_msg=f"chan {c} {k} (fast path vs single-chip)")
+            np.testing.assert_array_equal(
+                np.asarray(r1[k])[c, :n], np.asarray(r2[k])[c, :n],
+                err_msg=f"chan {c} {k} (fast path vs generic mesh)")
+        assert abs(float(r1["spSym"][c]) - float(ref["spSym"])) < 1e-3
+
+    n = int(np.asarray(r1["nBits"])[0])
+    np.testing.assert_array_equal(np.asarray(r1["bits_voted"])[:n],
+                                  np.asarray(r2["bits_voted"])[:n])
+
+
 def test_time_sharded_stream_matches_serial(tiny):
     n_dev = 8
     mesh = make_mesh({"time": n_dev})
