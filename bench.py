@@ -42,7 +42,7 @@ def time_fn(fn, n_iter, *args):
     return (time.perf_counter() - t0) / n_iter, out
 
 
-def sustained_msps(core, spec, B, T=10, repeats=5):
+def sustained_msps(core, spec, B, T=10, repeats=5, chunked=True):
     """Honest sustained rate: T scan-chained batches per fetch, with the
     per-fetch overhead removed by a paired T vs 2T difference.
 
@@ -56,7 +56,14 @@ def sustained_msps(core, spec, B, T=10, repeats=5):
     import jax
     import jax.numpy as jnp
 
-    vc = jax.vmap(core)
+    if chunked:
+        # production batch evaluation: chunk-unrolled past the measured
+        # B=16 sweet spot (dsp.block.build_process_batch / BATCH_CHUNK)
+        from pycusdr_tpu.dsp.block import build_process_batch
+
+        vc = build_process_batch(spec, jit=False)
+    else:
+        vc = jax.vmap(core)
     eff = spec.Nfft - spec.sigOverlap
 
     def make(Tn):
@@ -125,12 +132,12 @@ def main():
     per_batch = {B: sustained_msps(core, spec, B) for B in (16, 64)}
     msps = max(per_batch.values())
     best_B = max(per_batch, key=per_batch.get)
-    # B=1 runs the latency-mode graph — what the streaming single-channel
-    # path actually dispatches (one-hot row select instead of a gather).
+    # B=1 runs the single-block streaming graph (same routes as the
+    # batch form since the precision fix — see dsp/block.py).
     # T=100 keeps the paired 2T chain at 200 scan steps — the longest
     # graph the tunnel's remote compile reliably accepts
     core_lat = build_process_block(spec, jit=False, latency_mode=True)
-    msps_b1 = sustained_msps(core_lat, spec, 1, T=100)
+    msps_b1 = sustained_msps(core_lat, spec, 1, T=100, chunked=False)
 
     # --- CPU reference (numpy transliteration of the reference chain) ---
     rng = np.random.RandomState(0)

@@ -347,6 +347,40 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False,
     return process_block
 
 
+#: vmap width sweet spot for the flagship graph, chosen by measurement:
+#: the throughput-vs-batch curve is NON-monotonic on this chip (B=16
+#: runs 89 µs/block, B=64 145 µs — the two HBM-bound stages lose ~2.5×
+#: MXU efficiency at the larger tiling), so large batches are evaluated
+#: as unrolled chunks of this width INSIDE one jit: 64 blocks as 4×16
+#: measured 87.9 µs/block (734 Msps) vs 145.3 whole (444), bit-identical.
+BATCH_CHUNK = 16
+
+
+def build_process_batch(spec: DemodSpec, jit: bool = True,
+                        chunk: int = BATCH_CHUNK, **kw):
+    """Return ``batched(blocks_ri) -> outputs`` for (B, 2, Nfft) inputs.
+
+    vmaps the block graph, evaluating batches larger than ``chunk`` as
+    sequential chunk-wide sub-batches inside the same jit (see
+    BATCH_CHUNK). Extra kwargs pass through to ``build_process_block``
+    (``packed=True`` gives a (B, L) result). Batches that are not a
+    multiple of ``chunk`` fall back to one whole vmap.
+    """
+    core = build_process_block(spec, jit=False, **kw)
+    vc = jax.vmap(core)
+
+    def batched(blocks):
+        B = blocks.shape[0]
+        if chunk and B > chunk and B % chunk == 0:
+            outs = [vc(blocks[i * chunk:(i + 1) * chunk])
+                    for i in range(B // chunk)]
+            return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                                *outs)
+        return vc(blocks)
+
+    return jax.jit(batched) if jit else batched
+
+
 def build_process_stream(spec: DemodSpec, jit: bool = True):
     """Whole-capture processor: ``stream(hops_ri, carry_ri) -> (res, carry)``.
 

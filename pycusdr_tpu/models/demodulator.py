@@ -228,10 +228,10 @@ class Demodulator:
 
         fn = self._batched.get(K)
         if fn is None:
-            import jax
+            from pycusdr_tpu.dsp.block import build_process_batch
 
-            core = build_process_block(self.spec, jit=False, packed=True)
-            fn = jax.jit(jax.vmap(core))
+            # chunk-evaluated for large K (see dsp.block.BATCH_CHUNK)
+            fn = build_process_batch(self.spec, jit=True, packed=True)
             self._batched[K] = fn
 
         from pycusdr_tpu.dsp.block import unpack_block_outputs

@@ -270,6 +270,38 @@ def test_find_centres_grouped_select_bit_identical(scan_route):
                 f"output {i} differs (clip={cm is not None})"
 
 
+def test_chunked_batch_matches_whole_vmap(bench_conf):
+    """build_process_batch's chunk-unrolled evaluation (the measured
+    B=16-sweet-spot dispatch, dsp.block.BATCH_CHUNK) must equal one
+    whole vmap bit-for-bit — it is the same graph applied to slices."""
+    from pycusdr_tpu.dsp.block import build_process_batch, build_process_block
+    from pycusdr_tpu.dsp.spec import build_spec
+    from pycusdr_tpu.ops.cfft import c2ri
+    from pycusdr_tpu.protocol import loadProtocol
+    import jax
+
+    protocol = loadProtocol("bench_GFSK")(conf=bench_conf)
+    spec = build_spec(bench_conf, protocol, "UHF-H")
+    rng = np.random.RandomState(5)
+    B = 8
+    blocks = np.stack([
+        c2ri((rng.randn(spec.Nfft) + 1j * rng.randn(spec.Nfft))
+             .astype(np.complex64)) for _ in range(B)])
+
+    whole = jax.jit(jax.vmap(build_process_block(spec, jit=False)))
+    chunked = build_process_batch(spec, jit=True, chunk=2)
+    ra, rb = whole(blocks), chunked(blocks)
+    for k in ra:
+        a, b = np.asarray(ra[k]), np.asarray(rb[k])
+        if a.dtype.kind in "ib":  # decisions must be bit-exact
+            assert np.array_equal(a, b), k
+        else:
+            # float outputs may differ at the last ULP: XLA compiles the
+            # transcendental tail (arctan2 etc.) differently per batch
+            # width, which is exactly what chunking changes
+            np.testing.assert_allclose(a, b, rtol=2e-6, atol=0, err_msg=k)
+
+
 def test_packed_output_roundtrip(bench_conf):
     """The packed single-vector graph (one device->host transfer per
     block — the streaming runtime's fetch format) must decode to
