@@ -99,16 +99,18 @@ def _build_channel_parallel_step(spec: DemodSpec, mesh, vote: bool,
     """nd == 1 specialization: vmap the single-chip graph over the
     local channels inside shard_map; the only collective is the
     diversity vote's bits/trust all-gather on the ``channel`` axis."""
-    from pycusdr_tpu.dsp.block import build_process_block
+    from pycusdr_tpu.dsp.block import build_process_batch
 
-    core = build_process_block(spec, jit=False)
+    # chunk-evaluated like the single-chip batch path (BATCH_CHUNK):
+    # many local channels hit the same whole-width tiling cliff
+    vcore = build_process_batch(spec, jit=False)
     numSymMax = spec.numSymMax
     keys = ("bits", "trust", "symbols", "centres", "mags", "nSym", "nBits",
             "spSym", "doppler_hz", "freq_offset_hz", "quality_db",
             "snr_db", "shift")
 
     def step(blocks):
-        res = jax.vmap(core)(blocks.astype(jnp.float32))
+        res = vcore(blocks.astype(jnp.float32))
         out = {k: res[k] for k in keys}
         if vote:
             # pad slots beyond each channel's own bit count must not
