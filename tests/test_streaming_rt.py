@@ -13,8 +13,11 @@ import numpy as np
 def test_streaming_rt_cpu_point():
     from pycusdr_tpu.bench.streaming_rt import run_point
 
+    # max_batch=4 keeps the CPU child's batch-graph pre-compile small
+    # (the shipped config's 16 is sized for the TPU sweet spot)
     row = run_point(1.0, 12.0, basePort=29960, pipelineDepth=2,
-                    drain_s=10.0, verbose=False, ready_timeout=90.0)
+                    drain_s=10.0, verbose=False, ready_timeout=90.0,
+                    max_batch=4)
     # 4 bursts scheduled (t=1,4,7,10); allow one boundary/seam miss
     assert row["packets_scheduled"] == 4
     assert row["packets_bit_exact"] >= 3, row
