@@ -27,7 +27,8 @@ from pycusdr_tpu.parallel import build_sharded_demod_step
 from pycusdr_tpu.parallel.multihost import make_global_mesh
 
 spec = g.tiny_spec()
-mesh = make_global_mesh(dopp=2)
+dopp = int(sys.argv[4])
+mesh = make_global_mesh(dopp=dopp)
 assert mesh.devices.size == 8  # 2 processes x 4 virtual devices
 step = build_sharded_demod_step(spec, mesh)
 nc = mesh.shape["channel"]
@@ -146,16 +147,20 @@ def test_two_process_distributed_halo_stream(tmp_path):
 
 
 @pytest.mark.skipif(sys.platform != "linux", reason="Gloo localhost test")
-def test_two_process_distributed_sharded_demod(tmp_path):
+@pytest.mark.parametrize("dopp,port", [(2, "36100"), (1, "36160")])
+def test_two_process_distributed_sharded_demod(tmp_path, dopp, port):
+    """dopp=2 exercises the generic channel x dopp program across
+    processes; dopp=1 the channel-only fast path (vmapped single-chip
+    graph, vote all-gather crossing the process boundary)."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = tmp_path / "worker.py"
     script.write_text(WORKER.format(repo=repo))
 
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
-    port = "36100"
     procs = [
-        subprocess.Popen([sys.executable, str(script), str(i), port, str(tmp_path)],
+        subprocess.Popen([sys.executable, str(script), str(i), port,
+                          str(tmp_path), str(dopp)],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
         for i in range(2)
     ]
@@ -177,9 +182,9 @@ def test_two_process_distributed_sharded_demod(tmp_path):
     from pycusdr_tpu.parallel import build_sharded_demod_step, make_mesh
 
     spec = g.tiny_spec()
-    mesh = make_mesh({"channel": 4, "dopp": 2})
+    mesh = make_mesh({"channel": 8 // dopp, "dopp": dopp})
     step = build_sharded_demod_step(spec, mesh)
     rng = np.random.RandomState(0)
-    blocks = rng.randn(4, 2, spec.Nfft).astype(np.float32)
+    blocks = rng.randn(8 // dopp, 2, spec.Nfft).astype(np.float32)
     ref = np.asarray(step(blocks)["bits_voted"])
     np.testing.assert_array_equal(v0, ref)
