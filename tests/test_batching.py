@@ -46,6 +46,42 @@ def test_process_many_matches_sequential(bench_conf):
         np.testing.assert_array_equal(ta, tb, err_msg=f"trust differs at block {i}")
 
 
+def test_process_many_chunk_evaluated_matches_per_block(bench_conf):
+    """K=32 crosses BATCH_CHUNK, so processMany evaluates two 16-wide
+    sub-batches inside one jit (dsp.block.build_process_batch) — the
+    production backlog dispatch shape (maxBatchBlocks 16). Bits/trust
+    must match the per-block stream exactly."""
+    protocol = loadProtocol("bench_FSK")(conf=bench_conf)
+    dA = UHF.Demodulator(bench_conf, protocol, "UHF-H")
+    dB = UHF.Demodulator(bench_conf, protocol, "UHF-H")
+
+    N, ov = dA.Nfft, dA.sigOverlap
+    hop = N - ov
+    K = 32
+    rng = np.random.RandomState(9)
+    nbits = (ov + hop * K) // 16 + 8
+    bits = rng.randint(0, 2, nbits)
+    sig = make_fsk_signal(bits, 16, 38400 / dA.spec.sampleRate, seed=10,
+                          noise_std=0.05)
+    sig = np.r_[sig, np.zeros(hop * K, np.complex64)][: hop * K]
+    hops = sig.reshape(K, hop)
+
+    rawA = dA.get_signalBufferHostPointer()
+    seqA = []
+    for i in range(K):
+        rawA[ov:] = hops[i]
+        dA.uploadAndFindCarrier(rawA)
+        b, _, t, _ = dA.demodulate()
+        seqA.append((b, t))
+        rawA[:ov] = rawA[-ov:]
+
+    seqB = [(res["bits"], res["trust"]) for res in dB.processMany(hops)]
+    assert len(seqA) == len(seqB) == K
+    for i, ((ba, ta), (bb, tb)) in enumerate(zip(seqA, seqB)):
+        np.testing.assert_array_equal(ba, bb, err_msg=f"bits differ at block {i}")
+        np.testing.assert_array_equal(ta, tb, err_msg=f"trust differs at block {i}")
+
+
 def test_sigfifo_getblocks_drains_backlog():
     import threading
     import time
