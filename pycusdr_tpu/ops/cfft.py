@@ -315,6 +315,66 @@ def ifft_unnorm_power_ri(x):
     return rr * rr + ii * ii
 
 
+def ifft_unnorm_power_colreduce_ri(x, sum_lo: int, sum_hi: int):
+    """Mask-axis reductions of |N·ifft(x)|² fused into the transform —
+    the (M, N) power tensor never reaches HBM (VERDICT r3 #1).
+
+    ``x``: (..., M, 2, N) split spectra (M = mask axis). Returns
+    ``(colsum, colmax, colargmax)``, each (..., N):
+
+    - ``colsum[n]  = Σ_{m in [sum_lo, sum_hi)} |X_m[n]|²`` — the symbol-
+      timing power waveform (reference ``sumXCorrBuffMasks``,
+      cuda_kernels.cu:191-205, mask subset via CODE_SEARCH_MASK_OFFSET);
+    - ``colmax / colargmax`` — per-position max/argmax over ALL masks
+      with the lowest mask winning ties (reference ``findCentres`` mask
+      loop, cuda_kernels.cu:78-146) — symbol detection's first step.
+
+    These are the ONLY consumers of the matched-filter power
+    (dsp/block.py), and each reduces over the mask axis immediately, so
+    materializing (M, N) just to re-read it twice is pure HBM traffic
+    (~33 MB/dispatch at flagship B=16). Here the reductions consume the
+    four-step's pre-reshape (..., M, k2, k1) power tiles directly: XLA
+    fuses square + all three reductions into one multi-output pass over
+    the stage-2 matmul outputs, writing 3 N-vectors instead of an (M, N)
+    matrix. Bit-identical to reducing ``ifft_unnorm_power_ri``'s result
+    (same route, same floats, same reduction axis order —
+    exactness-tested in tests/test_dsp_golden.py).
+    """
+    n = x.shape[-1]
+    re, im = x[..., 0, :], -x[..., 1, :]
+    if FOUR_STEP_MIN <= n <= FOUR_STEP_MAX:
+        batch = re.shape[:-1]
+        if FOUR_STEP_ROUTE == "block":
+            n1, n2, W1B, W1RB, (tr, ti), W2B = _four_step_block_consts(n, -1.0)
+            xr = re.reshape(batch + (n1, n2))
+            xs = jnp.concatenate([xr, im.reshape(batch + (n1, n2))], axis=-2)
+            a = _mm("kc,...cm->...km", W1B, xs)
+            br, bi = cmul(a[..., :n1, :], a[..., n1:, :], tr, ti)
+            bs = jnp.concatenate([br, bi], axis=-1)
+            c = _mm("ck,...mc->...km", W2B, bs)
+            cr, ci = c[..., :n2, :], c[..., n2:, :]
+        else:
+            n1, n2, (w1r, w1i), (tr, ti), (w2r, w2i) = _four_step_consts(n, -1.0)
+            xr = re.reshape(batch + (n1, n2))
+            xi = im.reshape(batch + (n1, n2))
+            ar = _mm("kc,...cm->...km", w1r, xr) - _mm("kc,...cm->...km", w1i, xi)
+            ai = _mm("kc,...cm->...km", w1r, xi) + _mm("kc,...cm->...km", w1i, xr)
+            br, bi = cmul(ar, ai, tr, ti)
+            cr = (_mm("kc,...mc->...km", w2r, br) - _mm("kc,...mc->...km", w2i, bi))
+            ci = (_mm("kc,...mc->...km", w2r, bi) + _mm("kc,...mc->...km", w2i, br))
+        power = cr * cr + ci * ci  # (..., M, k2, k1); k = n1*k2 + k1
+        out_shape = power.shape[:-3] + (n,)
+        colsum = power[..., sum_lo:sum_hi, :, :].sum(axis=-3).reshape(out_shape)
+        colmax = power.max(axis=-3).reshape(out_shape)
+        colargmax = power.argmax(axis=-3).astype(jnp.int32).reshape(out_shape)
+        return colsum, colmax, colargmax
+    rr, ii = _stockham(re, im, n, -1.0)
+    power = rr * rr + ii * ii  # (..., M, N)
+    return (power[..., sum_lo:sum_hi, :].sum(axis=-2),
+            power.max(axis=-2),
+            power.argmax(axis=-2).astype(jnp.int32))
+
+
 @lru_cache(maxsize=None)
 def _band_dft_consts(n: int, k2_lo: int, k2_hi: int):
     """Constants for the pruned-output four-step band DFT: full W1 and

@@ -15,7 +15,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pycusdr_tpu.ops.cfft import band_dft_real, cmul, ifft_unnorm_power_ri, ifft_unnorm_ri
+from pycusdr_tpu.ops.cfft import (
+    band_dft_real,
+    cmul,
+    ifft_unnorm_power_colreduce_ri,
+    ifft_unnorm_power_ri,
+    ifft_unnorm_ri,
+)
 
 
 def threshold_input(sig_ri: jnp.ndarray, scale: float):
@@ -77,19 +83,30 @@ def apply_best_doppler_power(S_ri: jnp.ndarray, masks_ri: jnp.ndarray, shift) ->
     return ifft_unnorm_power_ri(jnp.stack([pr, pi], axis=-2))
 
 
-def find_code_rate_and_phase(P2: jnp.ndarray, idx_lo: int, idx_hi: int, Nfft: int,
-                             mask_offset: int = 0):
-    """Symbol rate + phase from the spectrum of summed matched-filter power.
+def apply_best_doppler_power_cols(S_ri: jnp.ndarray, masks_ri: jnp.ndarray, shift,
+                                  sum_lo: int, sum_hi: int):
+    """Mask-axis-reduced matched-filter power at the winning Doppler:
+    ``apply_best_doppler_power`` followed by the three reductions its
+    only consumers perform — sum over the [sum_lo, sum_hi) mask subset
+    (symbol timing, cuda_kernels.cu:191-205) and max/argmax over all
+    masks with lowest-mask tie-break (symbol detection,
+    cuda_kernels.cu:78-146) — fused into the inverse transform's final
+    stage so the (M, N) power tensor never reaches HBM (see
+    ``cfft.ifft_unnorm_power_colreduce_ri``). Bit-identical to reducing
+    the two-step route's P2 (exactness-tested).
 
-    Parity with ``sumXCorrBuffMasks`` + R2C FFT + ``findCodeRateAndPhase``
-    (cuda_kernels.cu:191-320, demodulator_base.py:711-752): restrict the
-    rfft-magnitude argmax to bins [Nfft/(1.1·spsym), Nfft/(0.9·spsym));
-    spSym = Nfft/k*, codeOffset = −phase/π·spSym/2 (wrapped positive).
-
-    P2: (M, N) f32 |X|^2. Returns (spSym, codeOffset, peak_val).
+    Returns (colsum (N,), colmax (N,), colargmax (N,) i32).
     """
-    M = P2.shape[0]
-    power = jnp.sum(P2[mask_offset : M - mask_offset], axis=0)
+    Ss = _roll_spectrum(S_ri, shift)
+    pr, pi = cmul(Ss[0][None, :], Ss[1][None, :], masks_ri[:, 0], masks_ri[:, 1])
+    return ifft_unnorm_power_colreduce_ri(
+        jnp.stack([pr, pi], axis=-2), sum_lo, sum_hi)
+
+
+def find_code_rate_and_phase_from_power(power: jnp.ndarray, idx_lo: int,
+                                        idx_hi: int, Nfft: int):
+    """``find_code_rate_and_phase`` starting from the already
+    mask-summed power waveform (the fused mask-bank route's shape)."""
     # output-pruned band DFT: only the searched bins are ever computed
     # (the full rfft spectrum is consumed nowhere else)
     R = band_dft_real(power, idx_lo, idx_hi)  # (2, idx_hi-idx_lo)
@@ -105,6 +122,22 @@ def find_code_rate_and_phase(P2: jnp.ndarray, idx_lo: int, idx_hi: int, Nfft: in
     codeOffset = -phase / jnp.pi * spSym / 2
     codeOffset = jnp.where(codeOffset < 0, codeOffset + spSym - 1, codeOffset)
     return spSym, codeOffset, val
+
+
+def find_code_rate_and_phase(P2: jnp.ndarray, idx_lo: int, idx_hi: int, Nfft: int,
+                             mask_offset: int = 0):
+    """Symbol rate + phase from the spectrum of summed matched-filter power.
+
+    Parity with ``sumXCorrBuffMasks`` + R2C FFT + ``findCodeRateAndPhase``
+    (cuda_kernels.cu:191-320, demodulator_base.py:711-752): restrict the
+    rfft-magnitude argmax to bins [Nfft/(1.1·spsym), Nfft/(0.9·spsym));
+    spSym = Nfft/k*, codeOffset = −phase/π·spSym/2 (wrapped positive).
+
+    P2: (M, N) f32 |X|^2. Returns (spSym, codeOffset, peak_val).
+    """
+    M = P2.shape[0]
+    power = jnp.sum(P2[mask_offset : M - mask_offset], axis=0)
+    return find_code_rate_and_phase_from_power(power, idx_lo, idx_hi, Nfft)
 
 
 def _window_scan_tree(V, payload, W):
@@ -381,7 +414,7 @@ def _select_rows_grouped(packed: jnp.ndarray, A: jnp.ndarray, sp_max: float,
 def find_centres(P2: jnp.ndarray, spSym, codeOffset, *, Nfft: int, windowWidth: int,
                  spsymMin: int, numSymMax: int, clip_mask=None,
                  select_route: str = "gather", scan_route: str = None,
-                 sp_max: float = None):
+                 sp_max: float = None, cols=None, num_masks: int = None):
     """Windowed symbol detection (parity: ``findCentres``,
     cuda_kernels.cu:78-146, abs² metric).
 
@@ -424,6 +457,11 @@ def find_centres(P2: jnp.ndarray, spSym, codeOffset, *, Nfft: int, windowWidth: 
     "onehot" (bit-exact MXU-matmul row select, ~2x faster at batch 1 —
     see ``_select_rows_onehot``).
 
+    ``cols``: optional precomputed ``(Vcol, m_star)`` per-column
+    (max, argmax) over masks from the fused mask-bank route
+    (``apply_best_doppler_power_cols``); requires ``num_masks`` and
+    makes ``P2`` unused (pass None).
+
     Returns (symbols i32[numSymMax], centres i32[numSymMax],
              mags f32[numSymMax], nSym i32, spc f32[, clip b1[numSymMax]]).
     """
@@ -438,10 +476,17 @@ def find_centres(P2: jnp.ndarray, spSym, codeOffset, *, Nfft: int, windowWidth: 
     comp = jnp.trunc(codeOffset).astype(jnp.int32) - jnp.minimum(A0, 0)
     A = jnp.clip(A0, 0, max(N - W, 0))
 
-    m_star = jnp.argmax(P2, axis=0).astype(jnp.int32)  # lowest mask on ties
-    Vcol = jnp.max(P2, axis=0)  # (N,)
-
-    M = P2.shape[0]
+    if cols is not None:
+        # fused mask-bank route: the per-column (max, argmax) over masks
+        # arrive precomputed from the transform epilogue
+        # (apply_best_doppler_power_cols) and P2 never exists
+        Vcol, m_star = cols
+        m_star = m_star.astype(jnp.int32)
+        M = num_masks
+    else:
+        m_star = jnp.argmax(P2, axis=0).astype(jnp.int32)  # lowest mask on ties
+        Vcol = jnp.max(P2, axis=0)  # (N,)
+        M = P2.shape[0]
     extras = (m_star,) if clip_mask is None else (m_star, clip_mask)
     bounds = (M,) if clip_mask is None else (M, 2)
     if scan_route is None:

@@ -367,3 +367,37 @@ def test_dopp_route_corr_matches_default(bench_conf):
     assert np.array_equal(np.asarray(a["bits"])[:n], np.asarray(b["bits"])[:n])
     np.testing.assert_allclose(np.asarray(a["E"]), np.asarray(b["E"]),
                                rtol=5e-4)
+
+
+@_pytest.mark.parametrize("variant", ["uhf", "uhf_mask_offset", "stx_like"])
+def test_bank_route_fused_bit_identical(fsk_block, variant):
+    """The fused mask-reduction route (timing sum + detection max/argmax
+    computed in the inverse transform's epilogue, the round-4 default)
+    must be BIT-IDENTICAL to the P2-materializing route on every output:
+    same floats, same reduction axis order, lowest-mask tie-break — the
+    (M, N) power tensor is pure HBM traffic, not information
+    (VERDICT r3 #1; reference semantics cuda_kernels.cu:191-205 and
+    :78-146)."""
+    import dataclasses
+
+    from pycusdr_tpu.ops.cfft import c2ri
+
+    spec, bits, sig = fsk_block
+    if variant == "uhf_mask_offset":
+        # nonzero CODE_SEARCH_MASK_OFFSET exercises the subset sum
+        spec = dataclasses.replace(spec, code_search_mask_offset=1)
+    elif variant == "stx_like":
+        # fixed-shift mode with spike clipping: the clip-mask branch of
+        # find_centres plus a static (non-traced) spectrum shift
+        spec = dataclasses.replace(spec, doppler_search=False,
+                                   disable_peak_thresholding=False)
+
+    fa = build_process_block(spec, bank_route="p2")
+    fb = build_process_block(spec)  # bank_route="fused" default
+    rng = np.random.RandomState(3)
+    noise = (rng.randn(len(sig)) + 1j * rng.randn(len(sig))).astype(np.complex64)
+    for s in (sig, (sig + 0.5 * noise).astype(np.complex64), noise):
+        a, b = fa(c2ri(s)), fb(c2ri(s))
+        for k in a:
+            assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), \
+                f"output {k!r} differs between bank routes ({variant})"
