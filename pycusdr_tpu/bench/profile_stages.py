@@ -125,6 +125,37 @@ def matmul_roof(dtype, n=4096, T=20, repeats=5):
     return 2.0 * n**3 / per_iter / 1e12
 
 
+def hbm_roof(mbytes=256, T=10, repeats=5):
+    """Measured HBM streaming bandwidth in GB/s (the memory roof the
+    per-stage bytes accounting is judged against — VERDICT r3 #1).
+
+    Chains an elementwise scale of a ~``mbytes`` f32 array through a
+    scan: each iteration is one fused kernel that reads the whole array
+    and writes it back (2·size bytes of HBM traffic), far past VMEM so
+    nothing caches. Same paired T-vs-2T + host-fetch discipline as every
+    other number in this module."""
+    import jax
+    import jax.numpy as jnp
+
+    n = mbytes * (1 << 20) // 4
+    x = jax.device_put(np.random.RandomState(0).randn(n).astype(np.float32))
+
+    def make(Tn):
+        @jax.jit
+        def bench_fn(c):
+            def body(c, _):
+                return c * jnp.float32(1.0000001), None
+
+            c, _ = jax.lax.scan(body, c, None, length=Tn)
+            return c[0]
+
+        return bench_fn
+
+    f1, f2 = make(T), make(2 * T)
+    per_iter = measure_paired(lambda: f1(x), lambda: f2(x), T, repeats)
+    return 2.0 * n * 4 / per_iter / 1e9
+
+
 def scan_floor(T=10, repeats=5):
     """Per-iteration cost of an empty scan body (backend fixed overhead,
     paired measurement so the fetch RTT is excluded)."""
@@ -206,6 +237,111 @@ def stage_flops(spec):
     return f
 
 
+def stage_bytes(spec, bank_route="fused"):
+    """Per-stage HBM-traffic models (bytes/block) for the SHIPPED routes
+    — the accounting that, against the measured ``hbm_roof``, says
+    whether a stage is at the memory floor (VERDICT r3 #1).
+
+    Returns ``{stage: (min_data, model_data, const)}`` in bytes. The
+    per-block figure at batch B is ``data + const / B``: vmapped batches
+    share every embedded constant (filter banks, DFT factors, phasor
+    matrices), so constant reads amortize across the batch.
+
+    Two models per stage:
+
+    - ``min``: the information floor — stage inputs read once + stage
+      outputs written once, ALL intermediates VMEM-resident. A stage
+      whose measured bandwidth (min bytes / measured time) sits at the
+      measured HBM roof is at the hardware floor outright.
+    - ``model``: operand-granularity traffic of the current route —
+      every matmul operand read by each dot that consumes it (split4
+      reads each FFT-stage operand twice), every stage-boundary
+      intermediate written once, elementwise ops fused into their
+      producers. This approximates what XLA emits with no cross-stage
+      fusion; measured time below model/roof means XLA fused better
+      than the model (VMEM-resident tiles, compute overlap).
+
+    Route assumptions: split4 four-step FFT, corr_dft Doppler, window
+    tree + gather slot select, and ``bank_route`` ("fused" = mask-axis
+    reductions in the transform epilogue, the default; "p2" adds the
+    (M, N) power write + two consumer reads).
+    """
+    N, M, D = spec.Nfft, spec.num_masks, spec.D
+    W = spec.windowWidth
+    S = spec.numSymMax
+    p = N.bit_length() - 1
+    n1 = 1 << (p // 2)
+    n2 = N // n1
+    fft_const = 2 * n1 * n1 + 2 * n2 * n2 + 2 * N  # W1, W2, twiddle tables
+    f = 4.0  # f32 bytes
+
+    out = {}
+    # spike clipping: read sig (2N), write sig (2N); model: two
+    # mean+scale passes + the clip mask (1 byte/sample)
+    if spec.disable_peak_thresholding:
+        out["clip"] = (0.0, 0.0, 0.0)
+    else:
+        out["clip"] = ((2 * N + 2 * N) * f, (2 * (2 * N + 2 * N)) * f + N, 0.0)
+
+    # forward FFT + |S|²: in 2N → S 2N + P N. Model: stage-1 dots read
+    # xr/xi twice each (4N), write 2N; twiddle r/w 2N; stage-2 4 dots
+    # read 4N write 4N, combine read 4N write 2N; P read 2N write N.
+    out["fft_fwd"] = ((2 * N + 3 * N) * f,
+                      (2 * N + 4 * N + 2 * N + 2 * N + 2 * N + 4 * N + 4 * N
+                       + 4 * N + 2 * N + 2 * N + N) * f,
+                      fft_const * f)
+
+    if spec.doppler_search:
+        # corr_dft: rfft_real(P) (stage-1 reads P twice), cmul with the
+        # Qf bank, ONE (M,N)x(N,D) pruned contraction vs the F phasors
+        out["dopp_energy"] = (
+            (N + 2 * D * M) * f,
+            (2 * N + 2 * N + 2 * N + 2 * N + 4 * N + 4 * N + 4 * N + 2 * N
+             + 2 * N + 2 * M * N + 2 * M * N + 2 * D * M) * f,
+            (2 * M * N + 2 * N * D + fft_const) * f)
+        out["dopp_est"] = (2 * D * M * f, 2 * D * M * f, 0.0)
+    else:
+        out["dopp_energy"] = (0.0, 0.0, 0.0)
+        out["dopp_est"] = (0.0, 0.0, 0.0)
+
+    # matched-filter bank: products (masks const read, 2MN written),
+    # stage-1 dots r 4MN w 2MN, twiddle r 2MN w 2MN, stage-2 dots r 4MN
+    # w 4MN, epilogue r 4MN. Fused route writes 3 N-vectors + 1 i32;
+    # p2 writes the (M, N) power instead (its consumer reads land in
+    # the timing/centres stages below).
+    bank_reads = (2 * N + 4 * M * N + 2 * M * N + 4 * M * N + 4 * M * N) * f
+    bank_writes = (2 * M * N + 2 * M * N + 2 * M * N + 4 * M * N) * f
+    if bank_route == "fused":
+        out["mask_bank"] = ((2 * N + 4 * N) * f,
+                            bank_reads + bank_writes + 4 * N * f,
+                            (2 * M * N + fft_const) * f)
+        timing_in = N
+        centres_in = 2 * N
+    else:
+        out["mask_bank"] = ((2 * N + M * N) * f,
+                            bank_reads + bank_writes + M * N * f,
+                            (2 * M * N + fft_const) * f)
+        timing_in = M * N  # mask-subset sum reads P2
+        centres_in = M * N  # column max/argmax reads P2 (one fused pass)
+
+    # timing: band DFT of the power waveform (stage-1 reads it twice,
+    # outputs are a handful of k2 tiles)
+    out["timing"] = (timing_in * f, (2 * timing_in + 4 * n1 * 4) * f,
+                     (2 * n1 * n1) * f)
+
+    # centres: payload pack w 2(N+W); window tree ~3 combines × r+w of
+    # (V, payload); slot gather r 2S; outputs 5 slot vectors
+    tree_passes = int(np.ceil(np.log2(max(W, 2)))) + 1
+    out["centres"] = ((centres_in + 5 * S) * f,
+                      (centres_in + 2 * (N + W)
+                       + 2 * tree_passes * 2 * (N + W)
+                       + 2 * S + 5 * S) * f,
+                      0.0)
+    out["bits"] = (2 * S * f, 2 * S * f, M * f)
+    out["full"] = tuple(sum(v[i] for k, v in out.items()) for i in range(3))
+    return out
+
+
 #: STX prefix composition (no Doppler stages, clipping in front)
 _PREFIX_STAGES_STX = {
     "pre_clip": ["clip"],
@@ -218,7 +354,7 @@ _PREFIX_STAGES_STX = {
 }
 
 
-def build_prefix_fns_stx(spec, latency_mode=False):
+def build_prefix_fns_stx(spec, latency_mode=False, bank_route="fused"):
     """Cumulative-prefix closures for the STX graph (reference
     demodulator/STX.py semantics: spike clipping ON, NO Doppler search
     — the spectrum shift is the fixed ``dopp_offset_idx``)."""
@@ -228,10 +364,12 @@ def build_prefix_fns_stx(spec, latency_mode=False):
     from pycusdr_tpu.ops.cfft import c2ri, fft_ri
     from pycusdr_tpu.ops.demod_kernels import (
         apply_best_doppler_power,
+        apply_best_doppler_power_cols,
         dilate_mask_dynamic,
         extract_bits_lut,
         find_centres,
         find_code_rate_and_phase,
+        find_code_rate_and_phase_from_power,
         threshold_input,
     )
 
@@ -255,14 +393,28 @@ def build_prefix_fns_stx(spec, latency_mode=False):
             if stop == "fft":
                 return (S[0] ** 2 + S[1] ** 2).sum() \
                     + clipped.sum().astype(jnp.float32)
-            P2 = apply_best_doppler_power(S, masks_ri, shift)
-            if stop == "bank":
-                return P2.sum() + clipped.sum().astype(jnp.float32)
-            spSym, codeOffset, code_val = find_code_rate_and_phase(
-                P2, spec.code_idx_lo, spec.code_idx_hi, N,
-                spec.code_search_mask_offset)
+            off = spec.code_search_mask_offset
+            if bank_route == "fused":
+                colsum, Vcol, m_star = apply_best_doppler_power_cols(
+                    S, masks_ri, shift, off, M - off)
+                if stop == "bank":
+                    return colsum.sum() + Vcol.sum() \
+                        + m_star.sum().astype(jnp.float32) \
+                        + clipped.sum().astype(jnp.float32)
+                spSym, codeOffset, code_val = find_code_rate_and_phase_from_power(
+                    colsum, spec.code_idx_lo, spec.code_idx_hi, N)
+                P2, cols = None, (Vcol, m_star)
+            else:
+                P2 = apply_best_doppler_power(S, masks_ri, shift)
+                if stop == "bank":
+                    return P2.sum() + clipped.sum().astype(jnp.float32)
+                spSym, codeOffset, code_val = find_code_rate_and_phase(
+                    P2, spec.code_idx_lo, spec.code_idx_hi, N, off)
+                cols = None
             if stop == "timing":
-                return spSym + codeOffset + code_val + P2.sum() * 0 \
+                tail = (P2.sum() * 0 if P2 is not None
+                        else Vcol.sum() + m_star.sum().astype(jnp.float32))
+                return spSym + codeOffset + code_val + tail \
                     + clipped.sum().astype(jnp.float32)
             spc_pre = jnp.maximum(spSym, float(spec.spsymMin))
             hw = 2 * jnp.ceil(spc_pre).astype(jnp.int32)
@@ -270,7 +422,8 @@ def build_prefix_fns_stx(spec, latency_mode=False):
             symbols, centres, mags, nSym, spc, at_win = find_centres(
                 P2, spSym, codeOffset, Nfft=N, windowWidth=spec.windowWidth,
                 spsymMin=spec.spsymMin, numSymMax=spec.numSymMax,
-                clip_mask=clip_dil, select_route=route)
+                clip_mask=clip_dil, select_route=route,
+                cols=cols, num_masks=M)
             if stop == "centres":
                 return (symbols.sum() + centres.sum()
                         + at_win.sum()).astype(jnp.float32) + mags.sum() + spc
@@ -279,7 +432,8 @@ def build_prefix_fns_stx(spec, latency_mode=False):
                     + at_win.sum()).astype(jnp.float32) + mags.sum() + spc
         return fn
 
-    core = build_process_block(spec, jit=False, latency_mode=latency_mode)
+    core = build_process_block(spec, jit=False, latency_mode=latency_mode,
+                               bank_route=bank_route)
 
     def s_full(sig):
         r = core(sig)
@@ -420,7 +574,7 @@ def build_stage_fns(spec):
     return stages
 
 
-def build_prefix_fns(spec, latency_mode=False):
+def build_prefix_fns(spec, latency_mode=False, bank_route="fused"):
     """Cumulative prefixes of the REAL flagship graph (doppler search on,
     corr route, thresholding off, centre-bit LUT), each consuming every
     live intermediate. Incremental deltas between consecutive prefixes
@@ -433,10 +587,12 @@ def build_prefix_fns(spec, latency_mode=False):
     from pycusdr_tpu.ops.cfft import c2ri, fft_ri
     from pycusdr_tpu.ops.demod_kernels import (
         apply_best_doppler_power,
+        apply_best_doppler_power_cols,
         compute_snr,
         extract_bits_lut,
         find_centres,
         find_code_rate_and_phase,
+        find_code_rate_and_phase_from_power,
     )
     from pycusdr_tpu.ops.doppler_search import (
         doppler_energy_corr_dft,
@@ -485,18 +641,37 @@ def build_prefix_fns(spec, latency_mode=False):
             if stop == "snr":
                 return doppler_hz + jnp.nan_to_num(snr_db, neginf=-99.0) \
                     + shift.astype(jnp.float32)
-            P2 = apply_best_doppler_power(S, masks_ri, shift)
-            if stop == "bank":
-                return P2.sum() + doppler_hz
-            spSym, codeOffset, code_val = find_code_rate_and_phase(
-                P2, spec.code_idx_lo, spec.code_idx_hi, N,
-                spec.code_search_mask_offset)
+            off = spec.code_search_mask_offset
+            if bank_route == "fused":
+                colsum, Vcol, m_star = apply_best_doppler_power_cols(
+                    S, masks_ri, shift, off, M - off)
+                if stop == "bank":
+                    return colsum.sum() + Vcol.sum() \
+                        + m_star.sum().astype(jnp.float32) + doppler_hz
+                spSym, codeOffset, code_val = find_code_rate_and_phase_from_power(
+                    colsum, spec.code_idx_lo, spec.code_idx_hi, N)
+                P2, cols = None, (Vcol, m_star)
+            else:
+                P2 = apply_best_doppler_power(S, masks_ri, shift)
+                if stop == "bank":
+                    return P2.sum() + doppler_hz
+                spSym, codeOffset, code_val = find_code_rate_and_phase(
+                    P2, spec.code_idx_lo, spec.code_idx_hi, N, off)
+                cols = None
             if stop == "timing":
-                return spSym + codeOffset + code_val + doppler_hz + P2.sum() * 0
+                # p2: P2 stays live through the timing consumer, so the
+                # *0 only avoids an extra MN-read. fused: Vcol/m_star
+                # are not consumed until the centres prefix — sum them
+                # for REAL (an N-read, ~free) or XLA would DCE the
+                # max/argmax reductions this prefix must include.
+                tail = (P2.sum() * 0 if P2 is not None
+                        else Vcol.sum() + m_star.sum().astype(jnp.float32))
+                return spSym + codeOffset + code_val + doppler_hz + tail
             symbols, centres, mags, nSym, spc = find_centres(
                 P2, spSym, codeOffset, Nfft=N, windowWidth=spec.windowWidth,
                 spsymMin=spec.spsymMin, numSymMax=spec.numSymMax,
-                select_route="gather")  # post-precision-fix default
+                select_route="gather",  # post-precision-fix default
+                cols=cols, num_masks=M)
             if stop == "centres":
                 return (symbols.sum() + centres.sum()).astype(jnp.float32) \
                     + mags.sum() + spc + doppler_hz
@@ -506,7 +681,8 @@ def build_prefix_fns(spec, latency_mode=False):
                 + jnp.nan_to_num(snr_db, neginf=-99.0) + quality_db
         return fn
 
-    core = build_process_block(spec, jit=False, latency_mode=latency_mode)
+    core = build_process_block(spec, jit=False, latency_mode=latency_mode,
+                               bank_route=bank_route)
 
     def s_full(sig):
         r = core(sig)
@@ -537,7 +713,7 @@ _PREFIX_STAGES = {
 
 
 def run_profile(batches=(1, 64), T=10, spec=None, mode="stages",
-                latency_mode=False):
+                latency_mode=False, bank_route="fused"):
     import jax
 
     if spec is None:
@@ -546,17 +722,25 @@ def run_profile(batches=(1, 64), T=10, spec=None, mode="stages",
         spec = flagship_spec()
 
     flops = stage_flops(spec)
+    bytes_ = stage_bytes(spec, bank_route=bank_route)
     prefix_map = _PREFIX_STAGES if spec.doppler_search else _PREFIX_STAGES_STX
     if mode == "prefix":
-        # cumulative-FLOP accounting so each prefix row's gflops/tflops
-        # matches the cumulative time it reports
+        # cumulative accounting so each prefix row's gflops/tflops (and
+        # bytes / % of memory roof) matches the cumulative time it reports
         flops = dict(flops, **{
             pre: sum(flops[s] for s in parts)
             for pre, parts in prefix_map.items()
         })
+        bytes_ = dict(bytes_, **{
+            pre: tuple(sum(bytes_[s][i] for s in parts if s in bytes_)
+                       for i in range(3))
+            for pre, parts in prefix_map.items()
+        })
     if mode == "prefix":
-        stages = (build_prefix_fns(spec, latency_mode) if spec.doppler_search
-                  else build_prefix_fns_stx(spec, latency_mode))
+        stages = (build_prefix_fns(spec, latency_mode, bank_route=bank_route)
+                  if spec.doppler_search
+                  else build_prefix_fns_stx(spec, latency_mode,
+                                            bank_route=bank_route))
     else:
         stages = build_stage_fns(spec)
     eff = spec.Nfft - spec.sigOverlap
@@ -565,12 +749,14 @@ def run_profile(batches=(1, 64), T=10, spec=None, mode="stages",
         "device": str(jax.devices()[0]),
         "spec": {"Nfft": spec.Nfft, "D": spec.D, "M": spec.num_masks,
                  "windowWidth": spec.windowWidth, "numSymMax": spec.numSymMax},
+        "bank_route": bank_route,
         "scan_floor_ms": round(scan_floor(T) * 1e3, 4),
         "dispatch_rtt_ms": round(dispatch_rtt() * 1e3, 4),
         "matmul_roof_tflops": {
             "f32": round(matmul_roof(np.float32), 2),
             "bf16": round(matmul_roof("bfloat16"), 2),
         },
+        "hbm_roof_gbps": round(hbm_roof(), 1),
         "batches": {},
     }
 
@@ -589,6 +775,18 @@ def run_profile(batches=(1, 64), T=10, spec=None, mode="stages",
                 "gflops_per_block": round(flops.get(name, 0.0) / 1e9, 3),
                 "tflops": round(flops.get(name, 0.0) / (per_block_us * 1e-6) / 1e12, 3),
             }
+            if name in bytes_:
+                mnb, mdb, cst = bytes_[name]
+                mn_pb = mnb + cst / B
+                md_pb = mdb + cst / B
+                gbps_min = mn_pb / (per_block_us * 1e-6) / 1e9
+                gbps_mod = md_pb / (per_block_us * 1e-6) / 1e9
+                rows[name]["mbytes_min"] = round(mn_pb / 1e6, 2)
+                rows[name]["mbytes_model"] = round(md_pb / 1e6, 2)
+                rows[name]["pct_mem_roof_min"] = round(
+                    100.0 * gbps_min / result["hbm_roof_gbps"], 1)
+                rows[name]["pct_mem_roof_model"] = round(
+                    100.0 * gbps_mod / result["hbm_roof_gbps"], 1)
         full_us = rows["full"]["us_per_block"]
         rows["full"]["msps"] = round(eff / full_us, 1)
         rows["full"]["mfu_vs_measured_f32_roof"] = round(
@@ -612,6 +810,10 @@ def main():
     ap.add_argument("--spec", choices=["flagship", "stx"], default="flagship",
                     help="graph envelope: flagship (UHF, Nfft 2^16, D=64) "
                          "or stx (Nfft 2^17, no Doppler search, clipping on)")
+    ap.add_argument("--bank-route", choices=["fused", "p2"], default="fused",
+                    help="matched-filter bank route: fused mask-axis "
+                         "reductions (default) or the P2-materializing "
+                         "pre-round-4 route (A/B)")
     args = ap.parse_args()
 
     from pycusdr_tpu.utils.device_info import wait_for_backend
@@ -623,7 +825,8 @@ def main():
 
         spec = stx_spec()
     res = run_profile(tuple(args.batches), args.T, spec=spec, mode=args.mode,
-                      latency_mode=args.latency_mode)
+                      latency_mode=args.latency_mode,
+                      bank_route=args.bank_route)
     print(json.dumps(res, indent=1))
     if args.out:
         with open(args.out, "w") as f:
