@@ -104,6 +104,18 @@ class Demodulator:
         runtime fills before each process call)."""
         return self._signal_buffer
 
+    def warmup(self):
+        """Compile AND execute the single-block graph on a zeros block
+        without touching any streaming state (healer, staging buffer,
+        Doppler memory). The streaming runtime calls this BEFORE
+        subscribing to the sample feed so the 25-55 s first-compile can
+        never accumulate ZMQ backlog behind it (the round-3 "warm-up
+        seam": a modem restart mid-pass lost the bursts that arrived
+        while the child compiled — VERDICT r3 #2)."""
+        handle = self._process_block(self._c2ri(
+            np.zeros(self.Nfft, np.complex64)))
+        np.asarray(handle)  # host fetch: proves device execution
+
     def dispatch(self, samples=None):
         """Asynchronously dispatch one block's device graph; return an
         opaque handle for ``collect``.

@@ -170,6 +170,44 @@ class Demodulator_process(Process):
             demodOutClient.setsockopt(zmq.LINGER, 1000)
             demodOutClient.connect(self.demodOutAddrClient)
 
+        maxBatch = self.confGPU.get("TPU", {}).get("maxBatchBlocks", 4)
+        try:
+            # the JAX device context + compiled graph live in THIS process
+            from pycusdr_tpu.globals import apply_platform_override
+
+            apply_platform_override()
+            cache_dir = self.confGPU.get("TPU", {}).get("compilationCacheDir")
+            if cache_dir:
+                # persistent compile cache: a modem RESTART skips the
+                # first-compile entirely (same graph -> disk hit)
+                import jax
+
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 1.0)
+            backend = _resolve_backend(self.demodulatorName)
+            demod = backend.Demodulator(self.conf, self.protocol, self.radioName)
+
+            # Compile AND run every graph this loop can dispatch BEFORE
+            # the SUB socket subscribes: the ~25-55 s first-compile
+            # otherwise accumulates ZMQ backlog past the ring (the
+            # round-3 "warm-up seam" — a modem restart mid-pass lost
+            # the bursts that arrived while the child compiled).
+            t0 = time.time()
+            demod.warmup()  # single-block (pipelined) path
+            if maxBatch > 1:
+                # vmapped backlog graph (a mid-stream jit would overflow
+                # the ring just the same)
+                demod.processMany(
+                    np.zeros((maxBatch, self.samplesPerSlice), np.complex64))
+                demod.get_signalBufferHostPointer()[:] = 0
+            log.info("[%s]: graphs compiled + warmed in %.1f s "
+                     "(pre-subscribe)", self.radioName, time.time() - t0)
+        except Exception as e:
+            log.exception(e)
+            demodOut.close()
+            raise
+
         try:
             sigIn = sigfifo.SigFIFO(
                 self.RxInAddr, self.samplesPerSlice, dtype=np.complex64,
@@ -179,19 +217,7 @@ class Demodulator_process(Process):
         except Exception as e:
             log.exception(e)
             demodOut.close()
-            raise
-
-        try:
-            # the JAX device context + compiled graph live in THIS process
-            from pycusdr_tpu.globals import apply_platform_override
-
-            apply_platform_override()
-            backend = _resolve_backend(self.demodulatorName)
-            demod = backend.Demodulator(self.conf, self.protocol, self.radioName)
-        except Exception as e:
-            log.exception(e)
-            demodOut.close()
-            del sigIn
+            del demod
             raise
 
         count = 0
@@ -209,7 +235,6 @@ class Demodulator_process(Process):
         log.info("[%s]: Demodulator process running", self.radioName)
         orig_sigterm = signal.getsignal(signal.SIGTERM)
         signal.signal(signal.SIGTERM, lambda *_: None)
-        maxBatch = self.confGPU.get("TPU", {}).get("maxBatchBlocks", 4)
         # pipelineDepth >= 2 keeps depth-1 blocks in flight on the
         # device: block k is dispatched (async) before block k-1's
         # results are fetched, so device compute and the dispatch/fetch
@@ -219,12 +244,6 @@ class Demodulator_process(Process):
         # well inside the tracking loop's smoothing window. Depth 1
         # (default) is the reference's synchronous per-block semantics.
         pipelineDepth = self.confGPU.get("TPU", {}).get("pipelineDepth", 1)
-        if maxBatch > 1:
-            # pre-compile the vmapped batch graph so it never stalls the
-            # live stream (a mid-stream jit would overflow the ring)
-            demod.processMany(np.zeros((maxBatch, self.samplesPerSlice), np.complex64))
-            raw[:] = 0
-
         def ship(d):
             try:
                 # NOBLOCK: a stalled combiner/decoder must drop blocks,
