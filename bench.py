@@ -165,6 +165,13 @@ def main():
                 "b16_msps": round(per_batch[16], 3),
                 "b64_msps": round(per_batch[64], 3),
                 "batch1_msps": round(msps_b1, 3),
+                # north-star second metric (BASELINE.json): Doppler
+                # hypotheses evaluated per second at the SHIPPED route
+                # (pruned-output DFT) = D grid shifts x blocks/s at the
+                # headline rate, each hypothesis scoring the full
+                # 2^16-bin spectrum
+                "doppler_hyp_evals_per_s": round(
+                    spec.D * msps * 1e6 / eff_samples, 1),
                 "cpu_reference_msps": round(cpu_msps, 3),
             }
         )
