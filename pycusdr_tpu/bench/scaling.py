@@ -59,7 +59,8 @@ def measure_step(spec, mesh, n_channels, T=10, repeats=3, vote=True):
     return samples, once
 
 
-def sharded_per_chip_msps(spec=None, n_channels=16, T=40, repeats=7):
+def sharded_per_chip_msps(spec=None, n_channels=16, T=40, repeats=7,
+                          force_generic=False):
     """Per-chip rate of the SHARDED program on a 1-device mesh — the
     number directly comparable to bench.py's single-chip graph rate
     (same paired scan-chain discipline). The sharded step at mesh size
@@ -83,7 +84,9 @@ def sharded_per_chip_msps(spec=None, n_channels=16, T=40, repeats=7):
         spec = g.flagship_spec()
 
     mesh = make_mesh({"channel": 1, "dopp": 1}, jax.devices()[:1])
-    step = build_sharded_demod_step(spec, mesh)
+    # force_generic: measure the channel x dopp tensor-split program
+    # (the one an nd>1 mesh runs) instead of the nd==1 fast path
+    step = build_sharded_demod_step(spec, mesh, force_generic=force_generic)
     rng = np.random.RandomState(0)
     blocks = rng.randn(n_channels, 2, spec.Nfft).astype(np.float32)
     d = jax.device_put(blocks, NamedSharding(mesh, P("channel", None, None)))
@@ -167,6 +170,10 @@ def main():
                         "1-device mesh (paired scan-chain, flagship spec) "
                         "instead of the mesh sweep")
     p.add_argument("--channels", type=int, default=16)
+    p.add_argument("--generic", action="store_true",
+                   help="with --per-chip: force the generic channel x "
+                        "dopp program (what an nd>1 mesh runs) instead "
+                        "of the nd==1 fast path")
     args = p.parse_args()
     if args.cpu:
         import os
@@ -179,9 +186,11 @@ def main():
         from pycusdr_tpu.utils.device_info import wait_for_backend
 
         wait_for_backend()
-        msps = sharded_per_chip_msps(n_channels=args.channels)
+        msps = sharded_per_chip_msps(n_channels=args.channels,
+                                     force_generic=args.generic)
         print(json.dumps({"metric": "sharded_program_per_chip",
                           "n_channels": args.channels,
+                          "program": "generic" if args.generic else "auto",
                           "Msamples_per_s": round(msps, 1)}))
         return
     for row in run_scaling(tuple(args.devices)):

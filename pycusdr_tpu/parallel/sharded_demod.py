@@ -44,7 +44,8 @@ TRUST_NORMAL = 2
 
 
 def _local_find_centres(P2_local, spSym, codeOffset, *, Nfft, windowWidth, spsymMin,
-                        numSymMax, select_route="gather"):
+                        numSymMax, select_route="gather", cols=None,
+                        num_masks_local=None):
     """Shard-local half of the windowed symbol argmax.
 
     Same index math and column-max-first formulation as
@@ -55,6 +56,10 @@ def _local_find_centres(P2_local, spSym, codeOffset, *, Nfft, windowWidth, spsym
     (local max value, local (k_win, m_local) pair, geometry) so the
     global argmax can be reduced across the ``dopp`` axis with the same
     (offset, mask) first-win order as the single-chip kernel.
+
+    ``cols``: optional precomputed local ``(Vcol, m_l)`` from the fused
+    mask-bank route (``apply_best_doppler_power_cols``), with
+    ``num_masks_local``; makes ``P2_local`` unused (pass None).
     """
     from pycusdr_tpu.ops.demod_kernels import sliding_window_argmax
 
@@ -69,9 +74,14 @@ def _local_find_centres(P2_local, spSym, codeOffset, *, Nfft, windowWidth, spsym
     comp = jnp.trunc(codeOffset).astype(jnp.int32) - jnp.minimum(A0, 0)
     A = jnp.clip(A0, 0, max(N - W, 0))
 
-    m_l = jnp.argmax(P2_local, axis=0).astype(jnp.int32)  # lowest local mask
-    Vcol = jnp.max(P2_local, axis=0)
-    Ml = int(P2_local.shape[0])
+    if cols is not None:
+        Vcol, m_l = cols
+        m_l = m_l.astype(jnp.int32)
+        Ml = int(num_masks_local)
+    else:
+        m_l = jnp.argmax(P2_local, axis=0).astype(jnp.int32)  # lowest local mask
+        Vcol = jnp.max(P2_local, axis=0)
+        Ml = int(P2_local.shape[0])
     Vt, payload, prod_b = sliding_window_argmax(
         Vcol[None, :], W, (m_l,), extra_bounds=(Ml,), packed=True)
 
@@ -155,7 +165,8 @@ def _build_channel_parallel_step(spec: DemodSpec, mesh, vote: bool,
 
 def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
                              master_idx: int = 0, master_weight: float = 1.2,
-                             select_route: str = "gather"):
+                             select_route: str = "gather",
+                             force_generic: bool = False):
     """Return ``step(blocks) -> dict`` jitted over ``mesh``.
 
     ``blocks``: (C, 2, Nfft) float32 split complex (see ops/cfft.py),
@@ -197,7 +208,7 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
     if select_route not in ("gather", "onehot"):
         raise ValueError(f"unknown select_route {select_route!r}")
 
-    if nd == 1:
+    if nd == 1 and not force_generic:
         # pure channel parallelism (the common deployment shape): no
         # tensor-parallel split to reconcile, so run the EXACT
         # single-chip graph vmapped over the local channels — same
@@ -205,6 +216,8 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
         # only the vote collective. The generic two-stage local/global
         # argmax below costs ~25% at B=16 (514 vs 718 Msps/chip
         # measured) purely in formulation, not communication.
+        # ``force_generic`` keeps the generic program measurable on a
+        # 1-device mesh (bench/scaling.py --generic).
         return _build_channel_parallel_step(spec, mesh, vote, master_idx,
                                             master_weight)
 
@@ -285,13 +298,32 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
             snr_db = jnp.zeros((Cl,), jnp.float32)
 
         # --- demod with the mask bank sharded over "dopp" ---
-        P2 = jax.vmap(
-            lambda s, sh_: apply_best_doppler_power(s, masks_l, sh_)
-        )(S, shift)  # (Cl, Ml, N)
+        if off_m == 0:
+            # fused mask-axis reductions (same epilogue fusion as the
+            # single-chip fused bank route): the local (Cl, Ml, N) power
+            # tensor never reaches HBM; its three consumers (timing sum,
+            # detection max/argmax) come straight from the transform.
+            # Gated on CODE_SEARCH_MASK_OFFSET == 0 because the fused
+            # subset sum needs static LOCAL bounds and a nonzero offset
+            # intersects the shard range at a runtime shard index.
+            from pycusdr_tpu.ops.demod_kernels import (
+                apply_best_doppler_power_cols,
+            )
 
-        power = jax.lax.psum(
-            jnp.einsum("m,cmn->cn", w_mask_l, P2), "dopp"
-        )  # (Cl, N) summed matched-filter power, all masks
+            colsum_l, Vcol_l, m_col_l = jax.vmap(
+                lambda s, sh_: apply_best_doppler_power_cols(
+                    s, masks_l, sh_, 0, Ml)
+            )(S, shift)  # each (Cl, N)
+            P2 = None
+            power = jax.lax.psum(colsum_l, "dopp")  # (Cl, N), all masks
+        else:
+            P2 = jax.vmap(
+                lambda s, sh_: apply_best_doppler_power(s, masks_l, sh_)
+            )(S, shift)  # (Cl, Ml, N)
+
+            power = jax.lax.psum(
+                jnp.einsum("m,cmn->cn", w_mask_l, P2), "dopp"
+            )  # (Cl, N) summed matched-filter power, mask subset
 
         # output-pruned band DFT (see ops.cfft.band_dft_real): only the
         # searched timing bins are computed
@@ -308,13 +340,23 @@ def build_sharded_demod_step(spec: DemodSpec, mesh, vote: bool = True,
         codeOffset = -phase / jnp.pi * spSym / 2
         codeOffset = jnp.where(codeOffset < 0, codeOffset + spSym - 1, codeOffset)
 
-        val_l, k_l, m_l, x, spc, comp, nSym = jax.vmap(
-            lambda p2, ss, co: _local_find_centres(
-                p2, ss, co, Nfft=N, windowWidth=W,
-                spsymMin=spec.spsymMin, numSymMax=numSymMax,
-                select_route=select_route,
-            )
-        )(P2, spSym, codeOffset)
+        if P2 is None:
+            val_l, k_l, m_l, x, spc, comp, nSym = jax.vmap(
+                lambda vc, mc, ss, co: _local_find_centres(
+                    None, ss, co, Nfft=N, windowWidth=W,
+                    spsymMin=spec.spsymMin, numSymMax=numSymMax,
+                    select_route=select_route, cols=(vc, mc),
+                    num_masks_local=Ml,
+                )
+            )(Vcol_l, m_col_l, spSym, codeOffset)
+        else:
+            val_l, k_l, m_l, x, spc, comp, nSym = jax.vmap(
+                lambda p2, ss, co: _local_find_centres(
+                    p2, ss, co, Nfft=N, windowWidth=W,
+                    spsymMin=spec.spsymMin, numSymMax=numSymMax,
+                    select_route=select_route,
+                )
+            )(P2, spSym, codeOffset)
 
         # global (offset, mask)-lexicographic argmax across the dopp
         # shards, matching ops.demod_kernels.find_centres: flat key
