@@ -68,10 +68,62 @@ def _build_conf(basePort, pipelineDepth, max_batch=None):
     return conf
 
 
+class _RssSampler(threading.Thread):
+    """Per-process RSS trend for long soaks (VERDICT r3 #5): samples
+    every ``period`` seconds; ``buckets(width)`` aggregates mean/max MB
+    per process per time bucket. The demod child's RSS is the proxy for
+    jit-cache growth (the compiled-executable cache lives in its heap).
+    """
+
+    def __init__(self, procs, period=10.0):
+        super().__init__(daemon=True)
+        import psutil
+
+        self._ps = {name: psutil.Process(pid) for name, pid in procs.items()}
+        self.period = period
+        self.samples = []  # (t, {name: rss_mb})
+        self._stop = threading.Event()
+
+    def run(self):
+        t0 = time.time()
+        while not self._stop.is_set():
+            row = {}
+            for name, p in self._ps.items():
+                try:
+                    row[name] = round(p.memory_info().rss / 1e6, 1)
+                except Exception:
+                    row[name] = None
+            self.samples.append((round(time.time() - t0, 1), row))
+            self._stop.wait(self.period)
+
+    def stop(self):
+        self._stop.set()
+
+    def buckets(self, width_s=300.0):
+        out = {}
+        for t, row in self.samples:
+            b = int(t // width_s)
+            for name, mb in row.items():
+                if mb is None:
+                    continue
+                cell = out.setdefault(b, {}).setdefault(
+                    name, {"n": 0, "sum": 0.0, "max": 0.0})
+                cell["n"] += 1
+                cell["sum"] += mb
+                cell["max"] = max(cell["max"], mb)
+        return [
+            {"bucket_s": int(b * width_s),
+             **{name: {"mean_mb": round(c["sum"] / c["n"], 1),
+                       "max_mb": round(c["max"], 1)}
+                for name, c in cells.items()}}
+            for b, cells in sorted(out.items())
+        ]
+
+
 def run_point(speed, duration_signal_s, *, basePort, pipelineDepth=2,
               snr_db=18.0, interval=3.0, payload_len=48, seed=1234,
               ready_timeout=180.0, verbose=True, log_v=0, drain_s=20.0,
-              max_batch=None):
+              max_batch=None, rss_trend=False):
     """One speed point. ``duration_signal_s`` is SIGNAL seconds (the
     wall-clock run is duration/speed + warm-up + drain)."""
     import zmq
@@ -106,6 +158,15 @@ def run_point(speed, duration_signal_s, *, basePort, pipelineDepth=2,
     sdr = PyCuSDR(dict(conf),
                   args=types.SimpleNamespace(v=log_v) if log_v else None)
     sdr.start()
+    sampler = None
+    if rss_trend:
+        procs = {"harness": os.getpid()}
+        for t in sdr.tasks:
+            pid = getattr(t, "pid", None)
+            if pid:
+                procs[getattr(t, "name", None) or f"pid{pid}"] = pid
+        sampler = _RssSampler(procs)
+        sampler.start()
     ctx = zmq.Context()
     sink = ctx.socket(zmq.PULL)
     sink.connect(f"tcp://localhost:{basePort + 102}")
@@ -171,6 +232,8 @@ def run_point(speed, duration_signal_s, *, basePort, pipelineDepth=2,
         fe.join(timeout=30)
     finally:
         wall = time.time() - (t_wall0 or time.time())
+        if sampler is not None:
+            sampler.stop()
         sdr.terminate()
         sink.close()
         ctx.term()
@@ -200,6 +263,13 @@ def run_point(speed, duration_signal_s, *, basePort, pipelineDepth=2,
             1 for a in arrive
             if a >= (1.0 + ((n_expected + 1) // 2) * interval) / speed),
     }
+    if sampler is not None:
+        row["rss_trend_5min"] = sampler.buckets(300.0)
+        # packet ledger per 5-min bucket (soak health at a glance)
+        row["decoded_per_5min"] = [
+            sum(1 for a in arrive if b * 300 <= a < (b + 1) * 300)
+            for b in range(int(wall // 300) + 1)
+        ]
     if verbose:
         print(json.dumps(row), flush=True)
     return row
@@ -214,6 +284,10 @@ def main():
     ap.add_argument("--snr", type=float, default=18.0)
     ap.add_argument("--base-port", type=int, default=26700)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--rss-trend", action="store_true",
+                    help="sample per-process RSS every 10 s and report "
+                         "5-min buckets + a per-bucket decode ledger "
+                         "(long-soak health)")
     ap.add_argument("--out", default=None)
     ap.add_argument("-v", action="count", default=0,
                     help="modem process verbosity (shows the demod "
@@ -230,7 +304,8 @@ def main():
         rows.append(run_point(s, args.duration,
                               basePort=args.base_port + 200 * i,
                               pipelineDepth=args.pipeline_depth,
-                              snr_db=args.snr, log_v=args.v))
+                              snr_db=args.snr, log_v=args.v,
+                              rss_trend=args.rss_trend))
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"points": rows}, f, indent=1)
