@@ -310,3 +310,46 @@ def test_capture_processor_matches_scan(bench_conf):
                     a, b, rtol=1e-5, atol=1e-5,
                     err_msg=f"capture output {k!r} drifted (K={K})")
         np.testing.assert_array_equal(np.asarray(carry_a), np.asarray(carry_b))
+
+
+def test_process_capture_matches_streaming(bench_conf):
+    """Demodulator.processCapture (the public offline-reprocessing API)
+    must produce the same healed bit stream as live per-block streaming
+    of the same samples, and leave the overlap-save history so live
+    streaming can resume."""
+    protocol = loadProtocol("bench_FSK")(conf=bench_conf)
+    dA = UHF.Demodulator(bench_conf, protocol, "UHF-H")
+    dB = UHF.Demodulator(bench_conf, protocol, "UHF-H")
+
+    N, ov = dA.Nfft, dA.sigOverlap
+    hop = N - ov
+    K = 7
+    rng = np.random.RandomState(9)
+    bits = rng.randint(0, 2, (hop * K) // 16 + 8)
+    sig = make_fsk_signal(bits, 16, 38400 / dA.spec.sampleRate, seed=3,
+                          noise_std=0.05)
+    sig = np.r_[sig, np.zeros(hop * K, np.complex64)][: hop * K - hop // 3]
+
+    # A: live per-block streaming (pad the tail hop with zeros, as the
+    # capture API does internally)
+    padded = np.zeros(hop * K, np.complex64)
+    padded[: len(sig)] = sig
+    rawA = dA.get_signalBufferHostPointer()
+    seqA = []
+    for i in range(K):
+        rawA[ov:] = padded[i * hop : (i + 1) * hop]
+        seqA.append(dA.process(rawA))
+        rawA[:ov] = rawA[-ov:]
+
+    # B: one capture call, chunked across two dispatches
+    seqB = dB.processCapture(sig, max_hops_per_dispatch=4)
+    assert len(seqB) == K
+    for i, (a, b) in enumerate(zip(seqA, seqB)):
+        np.testing.assert_array_equal(a["bits"], b["bits"],
+                                      err_msg=f"capture block {i} bits")
+        np.testing.assert_array_equal(a["trust"], b["trust"],
+                                      err_msg=f"capture block {i} trust")
+    # overlap-save history left in place for a live resume
+    np.testing.assert_allclose(
+        dB.get_signalBufferHostPointer()[:ov],
+        dA.get_signalBufferHostPointer()[:ov], rtol=1e-6, atol=1e-7)
