@@ -110,7 +110,16 @@ def _stream_one(demod, protocol, conf, sig, expected_bytes, n_bits):
 
 def run_delta(modulations=("FSK", "GFSK", "GMSK", "BPSK"), snrs=None, runs=10,
               packetLen=10000, seed=123, spSym=16, baud=9600, blockSize=None,
-              overlap=None, out_path=None, verbose=True, matmul_dtype=None):
+              overlap=None, out_path=None, verbose=True, matmul_dtype=None,
+              four_step_route=None):
+    if four_step_route is not None:
+        # gate for FOUR_STEP_ROUTE "block" (one 2n-wide block matmul per
+        # complex DFT stage, ~1-ulp different accumulation; measured
+        # +2.7% at B=16 on chip) — same waterfall discipline as the bf16
+        # gate before any default flip
+        import pycusdr_tpu.ops.cfft as cfft
+
+        cfft.FOUR_STEP_ROUTE = four_step_route
     from pycusdr_tpu.bench.ber import modulation_bandwidth
     from pycusdr_tpu.dsp.signal_gen import awgn, get_padded_packet, packet_data
 
@@ -201,6 +210,10 @@ def main():
                     help="route arm A's DFT-factor matmuls through this "
                          "operand dtype (the gate for shipping the bf16 "
                          "route; see ops/cfft.py MATMUL_DTYPE)")
+    ap.add_argument("--four-step-route", default=None,
+                    choices=["split4", "block"],
+                    help="route arm A's four-step FFT stages through this "
+                         "evaluation (gate for flipping FOUR_STEP_ROUTE)")
     ap.add_argument("--cpu", action=argparse.BooleanOptionalAction, default=True,
                     help="run on the CPU backend (--no-cpu targets the TPU)")
     args = ap.parse_args()
@@ -210,7 +223,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     run_delta(tuple(args.modulations), args.snrs, args.runs,
               packetLen=args.packetLen, blockSize=args.blockSize,
-              out_path=args.out, matmul_dtype=args.matmul_dtype)
+              out_path=args.out, matmul_dtype=args.matmul_dtype,
+              four_step_route=args.four_step_route)
 
 
 if __name__ == "__main__":
