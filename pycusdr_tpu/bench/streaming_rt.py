@@ -122,7 +122,7 @@ class _RssSampler(threading.Thread):
 
 def run_point(speed, duration_signal_s, *, basePort, pipelineDepth=2,
               snr_db=18.0, interval=3.0, payload_len=48, seed=1234,
-              ready_timeout=180.0, verbose=True, log_v=0, drain_s=20.0,
+              ready_timeout=900.0, verbose=True, log_v=0, drain_s=20.0,
               max_batch=None, rss_trend=False):
     """One speed point. ``duration_signal_s`` is SIGNAL seconds (the
     wall-clock run is duration/speed + warm-up + drain)."""
@@ -179,7 +179,13 @@ def run_point(speed, duration_signal_s, *, basePort, pipelineDepth=2,
         # noise from a temporary PUB until the demod child has processed
         # its first real block (baudRateEst flips non-zero) — spawn +
         # device init + jit warm-up all complete before the paced run,
-        # else the 4-hop ingest ring drops the head of the measurement
+        # else the 4-hop ingest ring drops the head of the measurement.
+        # Since the child compiles BEFORE subscribing (round 4), the PUB
+        # simply drops this noise until the SUB appears — no backlog —
+        # but the deadline must cover the whole first-compile (the
+        # tunnel's remote compile has been observed to take several
+        # minutes under load; a 180 s deadline once start-gated a whole
+        # measurement run into 0/20)
         warm_pub = ctx.socket(zmq.PUB)
         warm_pub.bind(f"tcp://127.0.0.1:{basePort}")
         rng = np.random.RandomState(99)

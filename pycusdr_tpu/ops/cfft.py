@@ -173,8 +173,20 @@ FOUR_STEP_MIN = 1 << 8
 
 #: four-step evaluation strategy: "split4" = four n×n real matmuls per
 #: complex DFT stage; "block" = one 2n×2n block matmul per stage (same
-#: FLOPs, bigger MXU tiles). Numerics differ by ~1 ulp accumulation
-#: order; decisions downstream are unaffected (golden-tested).
+#: FLOPs, bigger MXU tiles, half the operand re-reads).
+#:
+#: "block" measured +2.7% at the production B=16 shape on chip (818 ->
+#: 840 Msps, same window) and passed the full BER-waterfall gate
+#: (results/ber_delta_fourstep_block.npz: max |ΔBER| 1.4e-5, found-
+#: rates identical at every point incl. the GMSK cliff) — but it BREAKS
+#: the vmapped-vs-single bit-identity the streaming runtime depends on:
+#: XLA tiles the doubled contraction differently per batch shape, a
+#: ~1-ulp flip in the timing-band argmax moves the whole symbol-slot
+#: grid, and a stream that mixes per-block and batched backlog
+#: dispatches (runtime/demodulator_process.py) would heal across
+#: slightly divergent bit streams. split4 keeps every dispatch shape
+#: bit-identical (exactness-tested); "block" stays opt-in for
+#: single-shape offline use.
 FOUR_STEP_ROUTE = "split4"
 
 #: operand dtype for the dense DFT-factor matmuls: "float32" (default)
