@@ -122,7 +122,7 @@ class _RssSampler(threading.Thread):
 
 def run_point(speed, duration_signal_s, *, basePort, pipelineDepth=2,
               snr_db=18.0, interval=3.0, payload_len=48, seed=1234,
-              ready_timeout=900.0, verbose=True, log_v=0, drain_s=20.0,
+              ready_timeout=1800.0, verbose=True, log_v=0, drain_s=20.0,
               max_batch=None, rss_trend=False):
     """One speed point. ``duration_signal_s`` is SIGNAL seconds (the
     wall-clock run is duration/speed + warm-up + drain)."""
@@ -193,15 +193,27 @@ def run_point(speed, duration_signal_s, *, basePort, pipelineDepth=2,
         deadline = time.time() + ready_timeout
         noise = (np.sqrt(0.05) * (rng.randn(chunk) + 1j * rng.randn(chunk))
                  ).astype(np.complex64)
+        ready = False
         while time.time() < deadline:
             warm_pub.send(noise.tobytes())
             time.sleep(chunk / fs)
             if all(d.baudRateEst != 0 for d in sdr.demodulators):
+                ready = True
                 break
-        else:
-            print("warning: demod child not confirmed ready before deadline",
-                  file=sys.stderr)
         warm_pub.close(linger=0)
+        if not ready:
+            # do NOT run the paced measurement against a child that is
+            # still compiling — a 0/N row would read as a pipeline
+            # failure when it only measures the compile service's load
+            # (observed: a trivial jit took 40 s+, a child >15 min, on a
+            # bad tunnel day). Report the condition instead.
+            print("demod child not ready before deadline; skipping point",
+                  file=sys.stderr)
+            row = {"speed": speed, "input_msps": round(fs * speed / 1e6, 3),
+                   "not_ready": True, "ready_timeout_s": ready_timeout}
+            if verbose:
+                print(json.dumps(row), flush=True)
+            return row
         # backlog drain: while the child compiled (~25-55 s on the TPU
         # tunnel) the warm-up noise filled the PUB+SUB queues (~8.6 s of
         # samples at the default HWMs); let the child consume it so the
