@@ -44,6 +44,16 @@ class PyCuSDR:
         self._restart_enabled = self.configFile["Main"].get("restartDeadProcesses", False)
         self._max_restarts = self.configFile["Main"].get("maxProcessRestarts", 3)
         self._restarts = 0
+        # planned-maintenance restart when a worker's RSS exceeds this
+        # cap (MB; 0 = off). Motivated by a measured ENVIRONMENT leak:
+        # the axon TPU tunnel client retains every host->device transfer
+        # buffer (~512 KB/block in the demod child, isolated with
+        # bench/hw_leak_probe.py — the true CPU backend and every other
+        # pipeline process stay flat), so a long pass needs a bounded
+        # worker footprint. The demod child compiles before subscribing,
+        # so a restart loses only the (re)compile window of samples.
+        self._max_rss_mb = self.configFile["Main"].get("maxWorkerRssMb", 0)
+        self._last_rss_check = 0.0
         self._init_SDR()
         self._running = False
         self.killer = None
@@ -85,7 +95,43 @@ class PyCuSDR:
                     new_t.start()
                     continue
                 raise Exception(f"Process {t.name} died unexpectedly -- shutting down")
+        self._check_rss_caps()
         return True
+
+    def _check_rss_caps(self):
+        """Planned-maintenance restart of any worker whose RSS exceeds
+        ``Main.maxWorkerRssMb`` (see __init__ note; at most one restart
+        per check so the pipeline never loses every stage at once)."""
+        if not self._max_rss_mb or not self._running:
+            return
+        now = time.time()
+        if now - self._last_rss_check < 10.0:
+            return
+        self._last_rss_check = now
+        import psutil
+
+        for i, t in enumerate(self.tasks):
+            pid = getattr(t, "pid", None)
+            if not pid or self._task_factories[i] is None:
+                continue
+            try:
+                rss_mb = psutil.Process(pid).memory_info().rss / 1e6
+            except Exception:
+                continue
+            if rss_mb <= self._max_rss_mb:
+                continue
+            log.warning("Process %s RSS %.0f MB exceeds cap %d MB -- "
+                        "planned restart", t.name, rss_mb, self._max_rss_mb)
+            t.stop()
+            deadline = time.time() + 5.0
+            while t.is_alive() and time.time() < deadline:
+                time.sleep(0.1)
+            t.terminate()
+            t.join()
+            new_t = self._task_factories[i]()
+            self._replace_task(i, t, new_t)
+            new_t.start()
+            return
 
     def _replace_task(self, i, old, new):
         self.tasks[i] = new

@@ -157,3 +157,84 @@ def test_elastic_restart_recovers_decoder():
         pub.close()
         sink.close()
         ctx.term()
+
+
+def test_rss_cap_planned_restart():
+    """Main.maxWorkerRssMb triggers a planned restart of a worker whose
+    RSS exceeds the cap (the operational bound for the measured axon
+    transfer leak — see bench/hw_leak_probe.py), and the pipeline keeps
+    decoding afterwards."""
+    import zmq
+
+    os.environ["PYCUSDR_JAX_PLATFORM"] = "cpu"
+    from pycusdr_tpu.dsp.signal_gen import get_padded_packet, packet_data
+    from pycusdr_tpu.runtime.orchestrator import PyCuSDR
+
+    conf = _conf(31300)
+    # every python process exceeds 1 MB, so the demod child (first task
+    # with a factory after the modulator-less config) restarts on the
+    # first check; maxProcessRestarts is NOT consumed (planned, not
+    # crash recovery)
+    conf["Main"]["maxWorkerRssMb"] = 1
+    conf["Demodulator"] = {"timeoutSeconds": 600}
+
+    bits = packet_data(1000, 123)
+    fs = 9600 * 16
+    sig, _ = get_padded_packet("FSK", 16, fs, offset_freq=38400,
+                               raw_bits=bits, pad=6000)
+    sig = sig.astype(np.complex64)
+
+    ctx = zmq.Context()
+    pub = ctx.socket(zmq.PUB)
+    pub.bind("tcp://127.0.0.1:31300")
+    sink = ctx.socket(zmq.PULL)
+    sink.connect("tcp://localhost:31303")
+    sink.setsockopt(zmq.RCVTIMEO, 1500)
+
+    sdr = PyCuSDR(conf, args=None)
+    # avoid a restart storm while we watch: cap back to sane after one
+    sdr.start()
+    try:
+        demod0 = sdr.demodulators[0]
+        old_pid = None
+        deadline = time.time() + 30
+        while time.time() < deadline and old_pid is None:
+            assert sdr.is_alive()
+            old_pid = demod0.pid
+            time.sleep(0.2)
+        # wait for the planned restart (RSS check fires every ~10 s)
+        deadline = time.time() + 40
+        restarted = None
+        while time.time() < deadline:
+            assert sdr.is_alive()
+            cur = sdr.demodulators[0]
+            if cur is not demod0 and cur.pid and cur.is_alive():
+                restarted = cur
+                break
+            time.sleep(0.3)
+        assert restarted is not None, "no planned restart happened"
+        # stop further restarts so the decode below can complete
+        sdr._max_rss_mb = 10 ** 6
+
+        time.sleep(3.0)  # let the new child warm up (CPU compile)
+        step = 2**13 - 2**10
+        stream = np.r_[sig, np.zeros(6 * step, np.complex64)]
+        payload = None
+        for _ in range(15):
+            for pos in range(0, len(stream) - step, step):
+                pub.send(stream[pos : pos + step].tobytes())
+                time.sleep(0.02)
+            try:
+                payload = sink.recv()
+                break
+            except zmq.error.Again:
+                continue
+        assert payload is not None, "no packet decoded after planned restart"
+    finally:
+        try:
+            sdr.terminate()
+        except Exception:
+            pass
+        pub.close()
+        sink.close()
+        ctx.term()
