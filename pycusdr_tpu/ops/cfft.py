@@ -65,14 +65,36 @@ def _twiddles(n: int, sign: float):
     return out
 
 
-@lru_cache(maxsize=None)
+#: log2 bias on the four-step's N1 factor: n1 = 2^(p//2 + bias).
+#: Probed on chip at the flagship shape, DOCUMENTED NEGATIVE RESULT:
+#: a first pass (bias order 0,+1,−1,+2) read +1 at 795 vs 716 Msps at
+#: B=16, but the reversed-order confirmation read the OPPOSITE
+#: (bias 0: 772.7 / 812.2 / 371.3 at B=16 / B=64-chunked / B=1 vs
+#: bias +1: 741.1 / 772.1 / 392.1) — the apparent win was tunnel-window
+#: drift, and −1/+2 lose in both passes. The balanced √N split stays
+#: the default; the knob (env PYCUSDR_FOUR_STEP_N1_BIAS) remains for
+#: re-probing on other chips. Read at trace time (part of every consts
+#: cache key).
+import os as _os
+
+FOUR_STEP_N1_LOG_BIAS = int(_os.environ.get("PYCUSDR_FOUR_STEP_N1_BIAS", "0"))
+
+
+def _pick_n1(n: int) -> int:
+    p = n.bit_length() - 1
+    return 1 << max(1, min(p - 1, p // 2 + FOUR_STEP_N1_LOG_BIAS))
+
+
 def _four_step_consts(n: int, sign: float):
     """Constants for the four-step (Cooley-Tukey N1xN2) matmul FFT.
 
     Returns (N1, N2, W1 (re, im) [k1, n1], T (re, im) [k1, n2],
-    W2 (re, im) [k2, n2]) as float32 numpy, cached per length."""
-    p = n.bit_length() - 1
-    n1 = 1 << (p // 2)
+    W2 (re, im) [k2, n2]) as float32 numpy, cached per (length, split)."""
+    return _four_step_consts_n1(n, sign, _pick_n1(n))
+
+
+@lru_cache(maxsize=None)
+def _four_step_consts_n1(n: int, sign: float, n1: int):
     n2 = n // n1
     k1, nn1 = np.meshgrid(np.arange(n1), np.arange(n1), indexing="ij")
     W1 = np.exp(sign * 2j * np.pi * k1 * nn1 / n1)
@@ -388,11 +410,11 @@ def ifft_unnorm_power_colreduce_ri(x, sum_lo: int, sum_hi: int):
 
 
 @lru_cache(maxsize=None)
-def _band_dft_consts(n: int, k2_lo: int, k2_hi: int):
+def _band_dft_consts(n: int, k2_lo: int, k2_hi: int, n1: int):
     """Constants for the pruned-output four-step band DFT: full W1 and
     twiddle as in ``_four_step_consts`` but W2 restricted to output
     tile rows k2 in [k2_lo, k2_hi)."""
-    n1, n2, W1, T, (w2r, w2i) = _four_step_consts(n, -1.0)
+    n1, n2, W1, T, (w2r, w2i) = _four_step_consts_n1(n, -1.0, n1)
     return n1, n2, W1, T, (w2r[k2_lo:k2_hi], w2i[k2_lo:k2_hi])
 
 
@@ -412,10 +434,9 @@ def band_dft_real(x_real, lo: int, hi: int):
     """
     n = x_real.shape[-1]
     assert 0 <= lo < hi <= n // 2 + 1, (lo, hi, n)
-    p = n.bit_length() - 1
-    n1 = 1 << (p // 2)
+    n1 = _pick_n1(n)
     k2_lo, k2_hi = lo // n1, (hi - 1) // n1 + 1
-    n1_, n2, (w1r, w1i), (tr, ti), (w2r, w2i) = _band_dft_consts(n, k2_lo, k2_hi)
+    n1_, n2, (w1r, w1i), (tr, ti), (w2r, w2i) = _band_dft_consts(n, k2_lo, k2_hi, n1)
     batch = x_real.shape[:-1]
     x = x_real.reshape(batch + (n1, n2))
 
