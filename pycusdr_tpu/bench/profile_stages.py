@@ -58,6 +58,39 @@ def measure_paired(bench1, bench2, T, repeats=5):
     return per_iter
 
 
+def measure_ab(a1, a2, b1, b2, T, repeats=7):
+    """Drift-robust A/B: per repeat, time A's T and 2T chains AND B's T
+    and 2T chains back-to-back in ONE window, form each arm's paired
+    difference, and take the median of per-window B/A ratios. A
+    sequential A-then-B comparison is dominated by the tunnel's window
+    drift (measured: the same two graphs read +11% and −4% in opposite
+    orders — results/tmp/probe_n1*_r4.py); pairing inside the window
+    cancels it. Returns (sec_A, sec_B, ratio_B_over_A) medians."""
+    for f in (a1, a2, b1, b2):
+        float(f())
+    das, dbs, ratios = [], [], []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(a1())
+        t1 = time.perf_counter()
+        float(a2())
+        t2 = time.perf_counter()
+        float(b1())
+        t3 = time.perf_counter()
+        float(b2())
+        t4 = time.perf_counter()
+        da = (t2 - t1) - (t1 - t0)
+        db = (t4 - t3) - (t3 - t2)
+        if da > 0 and db > 0:
+            das.append(da)
+            dbs.append(db)
+            ratios.append(db / da)
+    if not ratios:
+        return float("nan"), float("nan"), float("nan")
+    return (float(np.median(das)) / T, float(np.median(dbs)) / T,
+            float(np.median(ratios)))
+
+
 def stage_seconds(fn, args, B, T=10, repeats=3):
     """Seconds per vmapped iteration of ``fn(*args)`` (B lanes, T chained).
 
