@@ -115,7 +115,7 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False,
                         latency_mode: bool = False, dopp_route: str = None,
                         centres_route: str = None, fft_dtype: str = None,
                         packed: bool = False, select_route: str = None,
-                        bank_route: str = None):
+                        bank_route: str = None, gather_pad: int = None):
     """Return ``process_block(samples_ri) -> dict`` jitted for ``spec``.
 
     ``samples_ri``: (2, Nfft) float32 split complex block. All
@@ -305,14 +305,14 @@ def build_process_block(spec: DemodSpec, jit: bool = True, donate: bool = False,
                 spsymMin=spec.spsymMin, numSymMax=spec.numSymMax,
                 clip_mask=clip_dil, select_route=select_route,
                 scan_route=centres_route, sp_max=sp_max,
-                cols=cols, num_masks=M,
+                cols=cols, num_masks=M, gather_pad=gather_pad,
             )
         else:
             symbols, centres, mags, nSym, spc = find_centres(
                 P2, spSym, codeOffset, Nfft=N, windowWidth=spec.windowWidth,
                 spsymMin=spec.spsymMin, numSymMax=spec.numSymMax,
                 select_route=select_route, scan_route=centres_route,
-                sp_max=sp_max, cols=cols, num_masks=M,
+                sp_max=sp_max, cols=cols, num_masks=M, gather_pad=gather_pad,
             )
 
         trust = jnp.full((spec.numSymMax,), trust_normal, dtype=jnp.int8)
@@ -396,11 +396,20 @@ def build_process_batch(spec: DemodSpec, jit: bool = True,
     """
     core = build_process_block(spec, jit=False, **kw)
     vc = jax.vmap(core)
+    # the chunk-evaluated form prefers the 8-col padded slot-gather
+    # source (+5.7% interleaved A/B at B=64; the whole-vmap form
+    # prefers 2 — see ops.demod_kernels.GATHER_PAD_COLS). Identical
+    # values read, so mixing the two shapes stays bit-identical.
+    if "gather_pad" in kw:
+        vc_chunk = vc
+    else:
+        vc_chunk = jax.vmap(build_process_block(spec, jit=False,
+                                                gather_pad=8, **kw))
 
     def batched(blocks):
         B = blocks.shape[0]
         if chunk and B > chunk and B % chunk == 0:
-            outs = [vc(blocks[i * chunk:(i + 1) * chunk])
+            outs = [vc_chunk(blocks[i * chunk:(i + 1) * chunk])
                     for i in range(B // chunk)]
             return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
                                 *outs)

@@ -226,6 +226,17 @@ def _window_scan_vanherk(V, payload, W):
             jnp.where(right, pp2[:, :L], suf_p[:, :L]))
 
 
+#: columns of the symbol-slot gather source (2 carry data, the rest pad
+#: rows to a transfer-friendly width). The isolated gather is ~29%
+#: faster with 8 cols (4608×2 35.0 µs vs 4608×8 25.0 µs/lane,
+#: results/tmp/probe_gather_shapes_r4.py) but the IN-GRAPH effect is
+#: shape-dependent (interleaved A/B, probe_pad_r4.py): +5.7% on the
+#: chunk-evaluated batch path, −9% at whole-vmap B=16 (the pad write
+#: breaks a fusion there). Default 2; the chunked batch path overrides
+#: to 8 per graph (dsp.block.build_process_batch) — values read are
+#: identical either way, so mixing shapes stays bit-identical.
+GATHER_PAD_COLS = 2
+
 _WINDOW_SCANS = {"tree": _window_scan_tree, "vanherk": _window_scan_vanherk}
 #: strategy for the per-position window max/argmax (see functions above);
 #: both are bit-identical (exactness-tested), chosen by measurement
@@ -414,7 +425,8 @@ def _select_rows_grouped(packed: jnp.ndarray, A: jnp.ndarray, sp_max: float,
 def find_centres(P2: jnp.ndarray, spSym, codeOffset, *, Nfft: int, windowWidth: int,
                  spsymMin: int, numSymMax: int, clip_mask=None,
                  select_route: str = "gather", scan_route: str = None,
-                 sp_max: float = None, cols=None, num_masks: int = None):
+                 sp_max: float = None, cols=None, num_masks: int = None,
+                 gather_pad: int = None):
     """Windowed symbol detection (parity: ``findCentres``,
     cuda_kernels.cu:78-146, abs² metric).
 
@@ -519,8 +531,15 @@ def find_centres(P2: jnp.ndarray, spSym, codeOffset, *, Nfft: int, windowWidth: 
 
         # value + packed (index, mask[, clip]) payload: 2 f32 columns
         # for ONE major-axis row gather; decode after the small slot
-        # read (payload ints < 2^24 are exact in f32)
-        packed = jnp.stack([V[0], payload[0]], axis=1)  # (N+W, 2)
+        # read (payload ints < 2^24 are exact in f32). The row is PADDED
+        # to GATHER_PAD_COLS: the gather is row-transfer-overhead-bound
+        # on this backend and 32-byte rows amortize it — raw microbench
+        # 4608×2 35.0 µs vs 4608×8 25.0 µs per lane at B=16
+        # (results/tmp/probe_gather_shapes_r4.py); the pad write is an
+        # elementwise pass (~2 µs). Values read are identical.
+        pad = GATHER_PAD_COLS if gather_pad is None else gather_pad
+        packed = jnp.stack(
+            [V[0], payload[0]] + [jnp.zeros_like(V[0])] * (pad - 2), axis=1)
         if select_route == "onehot":
             # latency mode (single-block streaming): see _select_rows_onehot
             R = _select_rows_onehot(packed, A)
