@@ -42,7 +42,7 @@ EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "..", "examples",
                         "gnuradio")
 
 
-def _build_conf(basePort, pipelineDepth, max_batch=None):
+def _build_conf(basePort, pipelineDepth, max_batch=None, max_rss_mb=0):
     conf = load_modular_json(os.path.join(CONF_DIR, "CC11xx.json"))
     p = basePort
     rx = conf["Radios"]["Rx"]["UHF-H"]
@@ -65,6 +65,9 @@ def _build_conf(basePort, pipelineDepth, max_batch=None):
     conf["GPU"]["UHF"].setdefault("TPU", {})["pipelineDepth"] = pipelineDepth
     if max_batch is not None:
         conf["GPU"]["UHF"]["TPU"]["maxBatchBlocks"] = max_batch
+    if max_rss_mb:
+        conf["Main"]["maxWorkerRssMb"] = max_rss_mb
+        conf["Main"]["restartDeadProcesses"] = True
     return conf
 
 
@@ -76,21 +79,24 @@ class _RssSampler(threading.Thread):
     """
 
     def __init__(self, procs, period=10.0):
+        """``procs``: {name: pid} dict OR a zero-arg callable returning
+        one (so planned restarts — new pids — keep being tracked)."""
         super().__init__(daemon=True)
-        import psutil
-
-        self._ps = {name: psutil.Process(pid) for name, pid in procs.items()}
+        self._procs = procs if callable(procs) else (lambda: procs)
         self.period = period
         self.samples = []  # (t, {name: rss_mb})
         self._stop = threading.Event()
 
     def run(self):
+        import psutil
+
         t0 = time.time()
         while not self._stop.is_set():
             row = {}
-            for name, p in self._ps.items():
+            for name, pid in self._procs().items():
                 try:
-                    row[name] = round(p.memory_info().rss / 1e6, 1)
+                    row[name] = round(
+                        psutil.Process(pid).memory_info().rss / 1e6, 1)
                 except Exception:
                     row[name] = None
             self.samples.append((round(time.time() - t0, 1), row))
@@ -123,7 +129,7 @@ class _RssSampler(threading.Thread):
 def run_point(speed, duration_signal_s, *, basePort, pipelineDepth=2,
               snr_db=18.0, interval=3.0, payload_len=48, seed=1234,
               ready_timeout=1800.0, verbose=True, log_v=0, drain_s=20.0,
-              max_batch=None, rss_trend=False):
+              max_batch=None, rss_trend=False, max_rss_mb=0):
     """One speed point. ``duration_signal_s`` is SIGNAL seconds (the
     wall-clock run is duration/speed + warm-up + drain)."""
     import zmq
@@ -133,7 +139,7 @@ def run_point(speed, duration_signal_s, *, basePort, pipelineDepth=2,
     sys.path.insert(0, EXAMPLES)
     import sim_frontend
 
-    conf = _build_conf(basePort, pipelineDepth, max_batch)
+    conf = _build_conf(basePort, pipelineDepth, max_batch, max_rss_mb)
     rxc = conf["Radios"]["Rx"]["UHF-H"]
     fs = rxc["baud"] * rxc["samplesPerSym"]
 
@@ -160,11 +166,14 @@ def run_point(speed, duration_signal_s, *, basePort, pipelineDepth=2,
     sdr.start()
     sampler = None
     if rss_trend:
-        procs = {"harness": os.getpid()}
-        for t in sdr.tasks:
-            pid = getattr(t, "pid", None)
-            if pid:
-                procs[getattr(t, "name", None) or f"pid{pid}"] = pid
+        def procs():
+            d = {"harness": os.getpid()}
+            for t in sdr.tasks:
+                pid = getattr(t, "pid", None)
+                if pid:
+                    d[getattr(t, "name", None) or f"pid{pid}"] = pid
+            return d
+
         sampler = _RssSampler(procs)
         sampler.start()
     ctx = zmq.Context()
@@ -302,6 +311,9 @@ def main():
     ap.add_argument("--snr", type=float, default=18.0)
     ap.add_argument("--base-port", type=int, default=26700)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--max-rss-mb", type=int, default=0,
+                    help="enable the orchestrator's Main.maxWorkerRssMb "
+                         "planned-restart cap for this run")
     ap.add_argument("--rss-trend", action="store_true",
                     help="sample per-process RSS every 10 s and report "
                          "5-min buckets + a per-bucket decode ledger "
@@ -323,7 +335,8 @@ def main():
                               basePort=args.base_port + 200 * i,
                               pipelineDepth=args.pipeline_depth,
                               snr_db=args.snr, log_v=args.v,
-                              rss_trend=args.rss_trend))
+                              rss_trend=args.rss_trend,
+                              max_rss_mb=args.max_rss_mb))
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"points": rows}, f, indent=1)
