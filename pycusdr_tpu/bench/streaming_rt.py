@@ -147,10 +147,15 @@ def run_point(speed, duration_signal_s, *, basePort, pipelineDepth=2,
     # RandomState(seed + k) bytes (--vary-payload — distinct payloads,
     # or the decoder's cross-channel MD5 dedup eats identical packets
     # that arrive inside its 1 s window during catch-up)
+    # cover every burst a long soak can schedule: a 256-seed window
+    # silently under-counted "bit-exact" for runs past ~13 minutes
+    # (packets 256+ decoded fine but matched nothing — found when the
+    # capped soak reported 252/500 exact with zero corruption)
+    n_bursts = int(duration_signal_s // interval) + 8
     expected = {
         np.random.RandomState(seed + k).randint(0, 256, payload_len)
         .astype(np.uint8).tobytes()
-        for k in range(256)
+        for k in range(max(256, n_bursts))
     }
 
     import tempfile

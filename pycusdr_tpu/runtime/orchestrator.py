@@ -54,6 +54,12 @@ class PyCuSDR:
         # so a restart loses only the (re)compile window of samples.
         self._max_rss_mb = self.configFile["Main"].get("maxWorkerRssMb", 0)
         self._last_rss_check = 0.0
+        import threading
+
+        # restarts may be triggered from is_alive() (a polling caller)
+        # or the maintenance thread below — serialize them
+        self._maint_lock = threading.Lock()
+        self._maint_thread = None
         self._init_SDR()
         self._running = False
         self.killer = None
@@ -65,6 +71,24 @@ class PyCuSDR:
         for t in self.tasks:
             t.start()
         self.killer = GracefulKiller()
+        if self._max_rss_mb:
+            # the RSS cap must fire even for embedders that never poll
+            # is_alive() (the reference API contract is caller-polls; a
+            # cap that silently depends on that is a footgun — found by
+            # the first capped-soak run, where the child sailed to 13 GB
+            # because the harness drove its own recv loop)
+            import threading
+
+            def maint():
+                while self._running:
+                    try:
+                        self._check_rss_caps()
+                    except Exception:
+                        log.exception("RSS maintenance check failed")
+                    time.sleep(2.0)
+
+            self._maint_thread = threading.Thread(target=maint, daemon=True)
+            self._maint_thread.start()
 
     def is_alive(self):
         """False when killed, every demod timed out, or a process died.
@@ -87,12 +111,15 @@ class PyCuSDR:
                 if (self._restart_enabled
                         and self._restarts < self._max_restarts
                         and self._task_factories[i] is not None):
-                    self._restarts += 1
-                    log.error("Process %s died -- restarting (%d/%d)",
-                              t.name, self._restarts, self._max_restarts)
-                    new_t = self._task_factories[i]()
-                    self._replace_task(i, t, new_t)
-                    new_t.start()
+                    with self._maint_lock:
+                        if self.tasks[i] is not t:
+                            continue  # the maintenance thread already replaced it
+                        self._restarts += 1
+                        log.error("Process %s died -- restarting (%d/%d)",
+                                  t.name, self._restarts, self._max_restarts)
+                        new_t = self._task_factories[i]()
+                        self._replace_task(i, t, new_t)
+                        new_t.start()
                     continue
                 raise Exception(f"Process {t.name} died unexpectedly -- shutting down")
         self._check_rss_caps()
@@ -104,6 +131,10 @@ class PyCuSDR:
         per check so the pipeline never loses every stage at once)."""
         if not self._max_rss_mb or not self._running:
             return
+        with self._maint_lock:
+            self._check_rss_caps_locked()
+
+    def _check_rss_caps_locked(self):
         now = time.time()
         if now - self._last_rss_check < 10.0:
             return
@@ -188,6 +219,11 @@ class PyCuSDR:
 
     def _shutdown(self):
         log.info("Shutting down")
+        # stop the maintenance thread FIRST: an RSS check racing the
+        # shutdown would restart a task that is being stopped
+        self._running = False
+        with self._maint_lock:
+            pass  # wait out any in-flight restart
         for t in self.tasks:
             t.stop()
         self.shutdown_tasks()
