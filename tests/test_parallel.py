@@ -197,3 +197,42 @@ def test_device_vote_pins_wrong_master_case():
     trust_bad = np.full((3, 8), -1, np.int8)
     _, t_bad = vote_n_device(bits, trust_bad)
     np.testing.assert_allclose(np.asarray(t_bad), -1.0)
+
+
+def test_sharded_step_mask_offset_fallback(tiny):
+    """CODE_SEARCH_MASK_OFFSET > 0 forces the generic program onto the
+    P2 fallback (the fused subset sum needs static local bounds); its
+    bits must still match the single-chip graph exactly."""
+    import dataclasses
+
+    spec = dataclasses.replace(tiny, code_search_mask_offset=1)
+    mesh = make_mesh({"channel": 2, "dopp": 2})
+    step = build_sharded_demod_step(spec, mesh)
+    _, blocks = _fsk_blocks(spec, 2, seed=6)
+
+    res = step(c2ri(blocks))
+    single = build_process_block(spec, jit=True)
+    for c in range(2):
+        ref = {k: np.asarray(v) for k, v in single(c2ri(blocks[c])).items()}
+        n = int(ref["nBits"])
+        np.testing.assert_array_equal(
+            np.asarray(res["bits"])[c, :n], ref["bits"][:n],
+            err_msg=f"mask-offset fallback chan {c}")
+        assert abs(float(res["spSym"][c]) - float(ref["spSym"])) < 1e-3
+
+
+def test_sharded_force_generic_matches_fast_path(tiny):
+    """force_generic on a channel-only mesh must produce the same bits
+    as the nd==1 fast path (the A/B the per-chip bench relies on)."""
+    mesh = make_mesh({"channel": 4, "dopp": 1})
+    fast = build_sharded_demod_step(tiny, mesh)
+    gen = build_sharded_demod_step(tiny, mesh, force_generic=True)
+    _, blocks = _fsk_blocks(tiny, 4, seed=9)
+
+    ra = fast(c2ri(blocks))
+    rb = gen(c2ri(blocks))
+    for c in range(4):
+        n = int(np.asarray(ra["nBits"])[c])
+        np.testing.assert_array_equal(
+            np.asarray(ra["bits"])[c, :n], np.asarray(rb["bits"])[c, :n],
+            err_msg=f"force_generic chan {c}")
