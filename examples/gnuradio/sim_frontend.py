@@ -95,6 +95,9 @@ class TxSink(threading.Thread):
                 raw = self.sock.recv()
             except zmq.error.Again:
                 continue
+            except zmq.error.ContextTerminated:
+                # harness tore the context down mid-recv: normal exit
+                return
             burst = np.frombuffer(raw, np.complex64)
             self.n += 1
             log.info("Tx burst %d: %d samples, peak %.3f", self.n,
