@@ -302,8 +302,9 @@ def stage_bytes(spec, bank_route="fused"):
     N, M, D = spec.Nfft, spec.num_masks, spec.D
     W = spec.windowWidth
     S = spec.numSymMax
-    p = N.bit_length() - 1
-    n1 = 1 << (p // 2)
+    from pycusdr_tpu.ops.cfft import _pick_n1
+
+    n1 = _pick_n1(N)  # honours PYCUSDR_FOUR_STEP_N1_BIAS like the graphs
     n2 = N // n1
     fft_const = 2 * n1 * n1 + 2 * n2 * n2 + 2 * N  # W1, W2, twiddle tables
     f = 4.0  # f32 bytes

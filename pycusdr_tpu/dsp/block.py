@@ -399,12 +399,18 @@ def build_process_batch(spec: DemodSpec, jit: bool = True,
     # the chunk-evaluated form prefers the 8-col padded slot-gather
     # source (+5.7% interleaved A/B at B=64; the whole-vmap form
     # prefers 2 — see ops.demod_kernels.GATHER_PAD_COLS). Identical
-    # values read, so mixing the two shapes stays bit-identical.
-    if "gather_pad" in kw:
-        vc_chunk = vc
-    else:
-        vc_chunk = jax.vmap(build_process_block(spec, jit=False,
-                                                gather_pad=8, **kw))
+    # values read, so mixing the two shapes stays bit-identical. Built
+    # LAZILY: most callers (streaming with maxBatchBlocks <= chunk)
+    # never take the chunked branch, and eagerly constructing a second
+    # graph would re-derive every embedded constant (masks, Qf, the
+    # (2, N, D) corr-DFT phasors) in the warmup window for nothing.
+    _chunk_cell = [vc] if "gather_pad" in kw else []
+
+    def vc_chunk(blocks):
+        if not _chunk_cell:
+            _chunk_cell.append(jax.vmap(build_process_block(
+                spec, jit=False, gather_pad=8, **kw)))
+        return _chunk_cell[0](blocks)
 
     def batched(blocks):
         B = blocks.shape[0]

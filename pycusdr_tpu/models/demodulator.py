@@ -247,29 +247,33 @@ class Demodulator:
             fn = build_process_batch(self.spec, jit=True, packed=True)
             self._batched[K] = fn
 
-        from pycusdr_tpu.dsp.block import unpack_block_outputs
-
         ri = np.stack([self._c2ri(b) for b in blocks])
         res = np.asarray(fn(ri))  # (K, L) — one transfer for the batch
 
-        out = []
-        for i in range(K):
-            self._last = unpack_block_outputs(res[i], self.spec)
-            r = self._last
-            if self.spec.doppler_search:
-                freqOffset = float(r["freq_offset_hz"])
-                sdev = float(r["quality_db"]) / self.Nfft * self.spec.sampleRate
-                snr = float(r["snr_db"])
-                self.dopplerIdxlast = int(r["shift"])
-            else:
-                freqOffset = sdev = snr = 0.0
-            bits, centres, trust, spSym = self.demodulate()
-            out.append({
-                "bits": bits, "trust": trust, "centres": centres,
-                "spSymEst": spSym, "doppler": freqOffset,
-                "doppler_std": sdev, "SNR": snr,
-            })
-        return out
+        return [self._emit_packed_row(res[i]) for i in range(K)]
+
+    def _emit_packed_row(self, vec_row):
+        """One packed result row -> the healed per-block result dict
+        (the SINGLE implementation of the unpack + Doppler stats +
+        healing sequence, shared by processMany / processCapture so the
+        batched, capture, and streaming paths cannot diverge)."""
+        from pycusdr_tpu.dsp.block import unpack_block_outputs
+
+        self._last = unpack_block_outputs(vec_row, self.spec)
+        r = self._last
+        if self.spec.doppler_search:
+            freqOffset = float(r["freq_offset_hz"])
+            sdev = float(r["quality_db"]) / self.Nfft * self.spec.sampleRate
+            snr = float(r["snr_db"])
+            self.dopplerIdxlast = int(r["shift"])
+        else:
+            freqOffset = sdev = snr = 0.0
+        bits, centres, trust, spSym = self.demodulate()
+        return {
+            "bits": bits, "trust": trust, "centres": centres,
+            "spSymEst": spSym, "doppler": freqOffset,
+            "doppler_std": sdev, "SNR": snr,
+        }
 
     def process(self, samples=None):
         """Single-call convenience API: both phases + the stats bundle."""
@@ -293,10 +297,7 @@ class Demodulator:
         """
         import jax.numpy as jnp
 
-        from pycusdr_tpu.dsp.block import (
-            build_process_capture,
-            unpack_block_outputs,
-        )
+        from pycusdr_tpu.dsp.block import build_process_capture
 
         capture = np.ascontiguousarray(capture, dtype=np.complex64)
         hop = self.Nfft - self.sigOverlap
@@ -332,23 +333,7 @@ class Demodulator:
             hops_ri = np.stack([self._c2ri(h) for h in hops])
             vec, carry = fn(hops_ri, carry)
             vec = np.asarray(vec)  # ONE transfer per dispatch
-            for i in range(K):
-                self._last = unpack_block_outputs(vec[i], self.spec)
-                r = self._last
-                if self.spec.doppler_search:
-                    freqOffset = float(r["freq_offset_hz"])
-                    sdev = (float(r["quality_db"]) / self.Nfft
-                            * self.spec.sampleRate)
-                    snr = float(r["snr_db"])
-                    self.dopplerIdxlast = int(r["shift"])
-                else:
-                    freqOffset = sdev = snr = 0.0
-                bits, centres, trust, spSym = self.demodulate()
-                out.append({
-                    "bits": bits, "trust": trust, "centres": centres,
-                    "spSymEst": spSym, "doppler": freqOffset,
-                    "doppler_std": sdev, "SNR": snr,
-                })
+            out.extend(self._emit_packed_row(vec[i]) for i in range(K))
             pos += K
         # leave the overlap-save history where live streaming expects it
         tail = np.asarray(carry)

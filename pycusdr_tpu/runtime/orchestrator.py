@@ -11,6 +11,7 @@ the decoder's stats for post-pass plots.
 """
 
 import logging
+import os
 import sys
 import time
 
@@ -60,6 +61,12 @@ class PyCuSDR:
         # or the maintenance thread below — serialize them
         self._maint_lock = threading.Lock()
         self._maint_thread = None
+        # task objects currently being torn down by a PLANNED restart:
+        # a concurrent is_alive() poll must not read their dead state as
+        # a crash (with restartDeadProcesses off it would raise and
+        # abort the pass the cap exists to protect)
+        self._maint_restarting = set()
+        self._rss_restart_at = {}  # task index -> last planned-restart time
         self._init_SDR()
         self._running = False
         self.killer = None
@@ -108,6 +115,8 @@ class PyCuSDR:
         for i, t in enumerate(self.tasks):
             time.sleep(0.1)
             if not t.is_alive():
+                if id(t) in self._maint_restarting or self.tasks[i] is not t:
+                    continue  # planned restart in progress / already replaced
                 if (self._restart_enabled
                         and self._restarts < self._max_restarts
                         and self._task_factories[i] is not None):
@@ -151,17 +160,50 @@ class PyCuSDR:
                 continue
             if rss_mb <= self._max_rss_mb:
                 continue
+            # storm guard: if a task trips the cap again within one
+            # cooldown of its last planned restart, the cap is below
+            # the worker's BASELINE footprint (a fresh JAX child is
+            # ~1-2 GB before any leak) — a kill/compile/kill loop would
+            # decode nothing. Disable the cap and say so, loudly.
+            last = self._rss_restart_at.get(i, 0.0)
+            if time.time() - last < 120.0:
+                log.error(
+                    "Process %s exceeds maxWorkerRssMb=%d MB immediately "
+                    "after a planned restart (baseline footprint above the "
+                    "cap) -- disabling the RSS cap; raise it above the "
+                    "worker's warm RSS", t.name, self._max_rss_mb)
+                self._max_rss_mb = 0
+                return
+            self._rss_restart_at[i] = time.time()
             log.warning("Process %s RSS %.0f MB exceeds cap %d MB -- "
                         "planned restart", t.name, rss_mb, self._max_rss_mb)
-            t.stop()
-            deadline = time.time() + 5.0
-            while t.is_alive() and time.time() < deadline:
-                time.sleep(0.1)
-            t.terminate()
-            t.join()
-            new_t = self._task_factories[i]()
-            self._replace_task(i, t, new_t)
-            new_t.start()
+            self._maint_restarting.add(id(t))
+            try:
+                t.stop()
+                deadline = time.time() + 5.0
+                while t.is_alive() and time.time() < deadline:
+                    time.sleep(0.1)
+                t.terminate()
+                # the demod child masks SIGTERM during run() (reference
+                # parity) and can be blocked in a device fetch on a hung
+                # tunnel — never hold _maint_lock on an unbounded join
+                # (is_alive() and _shutdown() both wait on this lock)
+                t.join(timeout=10.0)
+                if t.is_alive() and pid:
+                    import signal as _sig
+
+                    log.error("Process %s ignored terminate; SIGKILL %d",
+                              t.name, pid)
+                    try:
+                        os.kill(pid, _sig.SIGKILL)
+                    except OSError:
+                        pass
+                    t.join(timeout=5.0)
+                new_t = self._task_factories[i]()
+                self._replace_task(i, t, new_t)
+                new_t.start()
+            finally:
+                self._maint_restarting.discard(id(t))
             return
 
     def _replace_task(self, i, old, new):
