@@ -73,16 +73,20 @@ def _twiddles(n: int, sign: float):
 #: bias +1: 741.1 / 772.1 / 392.1) — the apparent win was tunnel-window
 #: drift, and −1/+2 lose in both passes. The balanced √N split stays
 #: the default; the knob (env PYCUSDR_FOUR_STEP_N1_BIAS) remains for
-#: re-probing on other chips. Read at trace time (part of every consts
-#: cache key).
+#: re-probing on other chips. The env var is sampled at every trace
+#: (i.e. inside _pick_n1, which only runs when a graph is traced), so a
+#: harness may set it after importing the package; the module global is
+#: the fallback for programmatic override.
 import os as _os
 
-FOUR_STEP_N1_LOG_BIAS = int(_os.environ.get("PYCUSDR_FOUR_STEP_N1_BIAS", "0"))
+FOUR_STEP_N1_LOG_BIAS = 0
 
 
 def _pick_n1(n: int) -> int:
+    bias = int(_os.environ.get("PYCUSDR_FOUR_STEP_N1_BIAS",
+                               str(FOUR_STEP_N1_LOG_BIAS)))
     p = n.bit_length() - 1
-    return 1 << max(1, min(p - 1, p // 2 + FOUR_STEP_N1_LOG_BIAS))
+    return 1 << max(1, min(p - 1, p // 2 + bias))
 
 
 def _four_step_consts(n: int, sign: float):

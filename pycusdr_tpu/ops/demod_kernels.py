@@ -538,6 +538,10 @@ def find_centres(P2: jnp.ndarray, spSym, codeOffset, *, Nfft: int, windowWidth: 
         # (results/tmp/probe_gather_shapes_r4.py); the pad write is an
         # elementwise pass (~2 µs). Values read are identical.
         pad = GATHER_PAD_COLS if gather_pad is None else gather_pad
+        if pad < 2:
+            # the packed row always carries 2 real columns (V, payload);
+            # a smaller pad would silently do nothing
+            raise ValueError(f"gather pad must be >= 2, got {pad}")
         packed = jnp.stack(
             [V[0], payload[0]] + [jnp.zeros_like(V[0])] * (pad - 2), axis=1)
         if select_route == "onehot":

@@ -14,6 +14,7 @@ reference's per-process CUDA context (``demodulator_process.py:242``).
 
 import logging
 import multiprocessing
+import os
 import signal
 import sys
 import time
@@ -126,6 +127,16 @@ class Demodulator_process(Process):
         self.runStatus = Event()
         self.runStatus.set()
         self.GRCTimeoutFlag = Event()
+        # make-before-break planned restarts (orchestrator RSS cap):
+        # warmedFlag is set once every graph is compiled+executed but
+        # BEFORE the SigFIFO subscribes; the orchestrator may clear
+        # subscribeGate before start() to hold a replacement child at
+        # that point while the old child keeps decoding, then set it
+        # after the old child is torn down — the decode gap shrinks to
+        # the socket switchover instead of the compile window.
+        self.warmedFlag = Event()
+        self.subscribeGate = Event()
+        self.subscribeGate.set()
         self.logLevel = log.getEffectiveLevel()
         log.info("[%s]: Demodulator process initialized", radio)
 
@@ -176,12 +187,20 @@ class Demodulator_process(Process):
             from pycusdr_tpu.globals import apply_platform_override
 
             apply_platform_override()
-            cache_dir = self.confGPU.get("TPU", {}).get("compilationCacheDir")
+            # Persistent compile cache, ON BY DEFAULT (config
+            # TPU.compilationCacheDir; "" disables): read-back is PROVEN
+            # on this backend — a restarted child reaches ready in
+            # ~17-28 s from the disk cache vs ~77 s cold
+            # (results/tmp/probe_cache_r5.py), which is what makes
+            # RSS-cap planned restarts cheap.
+            default_cache = os.path.join(
+                os.path.expanduser("~"), ".cache", "pycusdr_tpu", "xla_cache")
+            cache_dir = self.confGPU.get("TPU", {}).get(
+                "compilationCacheDir", default_cache)
             if cache_dir:
-                # persistent compile cache: a modem RESTART skips the
-                # first-compile entirely (same graph -> disk hit)
                 import jax
 
+                os.makedirs(cache_dir, exist_ok=True)
                 jax.config.update("jax_compilation_cache_dir", cache_dir)
                 jax.config.update(
                     "jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -207,6 +226,15 @@ class Demodulator_process(Process):
             log.exception(e)
             demodOut.close()
             raise
+
+        # make-before-break hold point: graphs are warm, nothing is
+        # subscribed yet. A planned-restart replacement waits here while
+        # the outgoing child keeps decoding.
+        self.warmedFlag.set()
+        while not self.subscribeGate.wait(0.2):
+            if not self.runStatus.is_set():
+                demodOut.close()
+                return
 
         try:
             sigIn = sigfifo.SigFIFO(

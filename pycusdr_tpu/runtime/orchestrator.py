@@ -140,8 +140,16 @@ class PyCuSDR:
         per check so the pipeline never loses every stage at once)."""
         if not self._max_rss_mb or not self._running:
             return
-        with self._maint_lock:
+        # non-blocking: during a planned restart the maintenance thread
+        # holds the lock across stop/terminate/join (up to ~20 s) — a
+        # real-time is_alive() poller must not stall for that window.
+        # The 10 s throttle tolerates skipped checks.
+        if not self._maint_lock.acquire(blocking=False):
+            return
+        try:
             self._check_rss_caps_locked()
+        finally:
+            self._maint_lock.release()
 
     def _check_rss_caps_locked(self):
         now = time.time()
@@ -179,6 +187,34 @@ class PyCuSDR:
                         "planned restart", t.name, rss_mb, self._max_rss_mb)
             self._maint_restarting.add(id(t))
             try:
+                # MAKE-BEFORE-BREAK when the worker supports it (the
+                # demod child exposes warmedFlag/subscribeGate): start
+                # the replacement and let it compile/warm while the OLD
+                # child keeps decoding; only then tear the old one down
+                # and release the new child to subscribe. The decode gap
+                # shrinks from the compile window (~17-77 s) to the
+                # socket switchover (~1-2 s).
+                new_t = None
+                probe = self._task_factories[i]()
+                if (hasattr(probe, "warmedFlag")
+                        and hasattr(probe, "subscribeGate")):
+                    new_t = probe
+                    new_t.subscribeGate.clear()
+                    new_t.start()
+                    deadline2 = time.time() + 300.0
+                    while (time.time() < deadline2 and self._running
+                           and not new_t.warmedFlag.wait(0.5)):
+                        pass
+                    if not new_t.warmedFlag.is_set():
+                        log.error(
+                            "replacement %s not warm yet -- swapping "
+                            "anyway (it will subscribe when ready)",
+                            new_t.name)
+                else:
+                    # not a gate-capable worker: discard the probe
+                    # instance (never started) and rebuild after the
+                    # old one is down (break-before-make)
+                    del probe
                 t.stop()
                 deadline = time.time() + 5.0
                 while t.is_alive() and time.time() < deadline:
@@ -199,9 +235,14 @@ class PyCuSDR:
                     except OSError:
                         pass
                     t.join(timeout=5.0)
-                new_t = self._task_factories[i]()
-                self._replace_task(i, t, new_t)
-                new_t.start()
+                if new_t is not None:
+                    # old child is down: release the warmed replacement
+                    self._replace_task(i, t, new_t)
+                    new_t.subscribeGate.set()
+                else:
+                    new_t = self._task_factories[i]()
+                    self._replace_task(i, t, new_t)
+                    new_t.start()
             finally:
                 self._maint_restarting.discard(id(t))
             return
