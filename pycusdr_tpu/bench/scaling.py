@@ -60,7 +60,7 @@ def measure_step(spec, mesh, n_channels, T=10, repeats=3, vote=True):
 
 
 def sharded_per_chip_msps(spec=None, n_channels=16, T=40, repeats=7,
-                          force_generic=False):
+                          force_generic=False, mask_size=None):
     """Per-chip rate of the SHARDED program on a 1-device mesh — the
     number directly comparable to bench.py's single-chip graph rate
     (same paired scan-chain discipline). The sharded step at mesh size
@@ -81,7 +81,8 @@ def sharded_per_chip_msps(spec=None, n_channels=16, T=40, repeats=7,
     if spec is None:
         import __graft_entry__ as g
 
-        spec = g.flagship_spec()
+        spec = (g.flagship_spec(mask_size=mask_size) if mask_size
+                else g.flagship_spec())
 
     mesh = make_mesh({"channel": 1, "dopp": 1}, jax.devices()[:1])
     # force_generic: measure the channel x dopp tensor-split program
@@ -174,6 +175,10 @@ def main():
                    help="with --per-chip: force the generic channel x "
                         "dopp program (what an nd>1 mesh runs) instead "
                         "of the nd==1 fast path")
+    p.add_argument("--mask-size", type=int, default=None,
+                   help="with --per-chip: xcorrMaskSize override (bank "
+                        "depth M=2^maskSize; 5 = the M=32 deep-bank "
+                        "break-even validation spec)")
     args = p.parse_args()
     if args.cpu:
         import os
@@ -187,10 +192,12 @@ def main():
 
         wait_for_backend()
         msps = sharded_per_chip_msps(n_channels=args.channels,
-                                     force_generic=args.generic)
+                                     force_generic=args.generic,
+                                     mask_size=args.mask_size)
         print(json.dumps({"metric": "sharded_program_per_chip",
                           "n_channels": args.channels,
                           "program": "generic" if args.generic else "auto",
+                          "mask_size": args.mask_size or 3,
                           "Msamples_per_s": round(msps, 1)}))
         return
     for row in run_scaling(tuple(args.devices)):

@@ -68,6 +68,10 @@ def _build_conf(basePort, pipelineDepth, max_batch=None, max_rss_mb=0):
     if max_rss_mb:
         conf["Main"]["maxWorkerRssMb"] = max_rss_mb
         conf["Main"]["restartDeadProcesses"] = True
+        # make-before-break restarts decode the overlap window in BOTH
+        # children (distinct workerId streams): arm the decoder's
+        # cross-stream MD5 dedup so identical payloads forward once
+        conf["decoder"]["packetCheckHistTimeout"] = 5.0
     return conf
 
 
@@ -187,6 +191,7 @@ def run_point(speed, duration_signal_s, *, basePort, pipelineDepth=2,
     sink.setsockopt(zmq.RCVTIMEO, 250)
 
     got, exact = [], 0
+    dup_seen, duplicates = set(), 0
     t_wall0 = None
     try:
         # readiness handshake (same discipline as bench/ber.py): stream
@@ -257,6 +262,13 @@ def run_point(speed, duration_signal_s, *, basePort, pipelineDepth=2,
                 if not fe.is_alive() and time.time() > t_end - 15.0:
                     break
                 continue
+            if raw in dup_seen:
+                # a make-before-break restart overlap decodes the same
+                # burst in BOTH children (distinct workerId streams);
+                # count each burst once, duplicates separately
+                duplicates += 1
+                continue
+            dup_seen.add(raw)
             got.append(raw)
             arrive.append(round(time.time() - t_wall0, 1))
             if bytes(raw[:payload_len]) in expected:
@@ -284,6 +296,7 @@ def run_point(speed, duration_signal_s, *, basePort, pipelineDepth=2,
         "packets_scheduled": n_expected,
         "packets_decoded": len(got),
         "packets_bit_exact": exact,
+        "packets_duplicate": duplicates,
         "arrival_s": arrive,
         # steady state = bursts scheduled in the second half of the
         # stream (warm-up seam excluded; see the drain note above). The

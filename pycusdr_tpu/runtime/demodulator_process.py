@@ -193,10 +193,20 @@ class Demodulator_process(Process):
             # ~17-28 s from the disk cache vs ~77 s cold
             # (results/tmp/probe_cache_r5.py), which is what makes
             # RSS-cap planned restarts cheap.
-            default_cache = os.path.join(
-                os.path.expanduser("~"), ".cache", "pycusdr_tpu", "xla_cache")
             cache_dir = self.confGPU.get("TPU", {}).get(
-                "compilationCacheDir", default_cache)
+                "compilationCacheDir", None)
+            if cache_dir is None:
+                # default ON only for accelerator backends: XLA:CPU AOT
+                # cache entries record compile-machine features that can
+                # mismatch the host (observed: +prefer-no-scatter ->
+                # "could lead to SIGILL" on child load), and CPU
+                # compiles are seconds anyway
+                import jax
+
+                if jax.default_backend() != "cpu":
+                    cache_dir = os.path.join(
+                        os.path.expanduser("~"), ".cache", "pycusdr_tpu",
+                        "xla_cache")
             if cache_dir:
                 import jax
 

@@ -67,6 +67,7 @@ class PyCuSDR:
         # abort the pass the cap exists to protect)
         self._maint_restarting = set()
         self._rss_restart_at = {}  # task index -> last planned-restart time
+        self._restart_seq = 0  # workerId suffix for replacement children
         self._init_SDR()
         self._running = False
         self.killer = None
@@ -108,8 +109,13 @@ class PyCuSDR:
         if self.killer is not None and self.killer.kill_now:
             log.debug("killed")
             return False
-        demodTimeouts = sum(1 for d in self._demodulators if d.GRCTimeout())
-        if self._demodulators and demodTimeouts == len(self._demodulators):
+        # a planned restart's stop() clears the child's runStatus, which
+        # makes its SigFIFO raise TimeoutError("Terminated") and set the
+        # GRC-timeout flag during teardown — that is shutdown signalling,
+        # not a lost sample feed, so exclude mid-restart children here
+        active = [d for d in self._demodulators
+                  if id(d) not in self._maint_restarting]
+        if active and all(d.GRCTimeout() for d in active):
             log.debug("all demodulators timed out")
             return False
         for i, t in enumerate(self.tasks):
@@ -199,6 +205,14 @@ class PyCuSDR:
                 if (hasattr(probe, "warmedFlag")
                         and hasattr(probe, "subscribeGate")):
                     new_t = probe
+                    # distinguishable stream identity: the decoder keys
+                    # its frame-finder continuation state AND duplicate
+                    # suppression by workerId, so the overlap window
+                    # (below) must not interleave two children into one
+                    # bit stream
+                    if hasattr(new_t, "workerId"):
+                        self._restart_seq += 1
+                        new_t.workerId = f"{new_t.workerId}~r{self._restart_seq}"
                     new_t.subscribeGate.clear()
                     new_t.start()
                     deadline2 = time.time() + 300.0
@@ -210,6 +224,21 @@ class PyCuSDR:
                             "replacement %s not warm yet -- swapping "
                             "anyway (it will subscribe when ready)",
                             new_t.name)
+                    # ZERO-GAP switchover: the sample feed is PUB/SUB,
+                    # so the replacement subscribes WHILE the old child
+                    # still decodes; both see every sample for the
+                    # overlap window (any burst in flight at either edge
+                    # is fully inside one child's stream), then the old
+                    # child is torn down. Duplicate decodes during the
+                    # overlap carry the suffixed workerId — a separate
+                    # decoder stream, deduplicated by the packet-hash
+                    # history when enabled (decoder.packetCheckHistTimeout).
+                    new_t.subscribeGate.set()
+                    overlap = float(self.configFile["Main"].get(
+                        "restartOverlapSeconds", 5.0))
+                    t_end = time.time() + overlap
+                    while time.time() < t_end and self._running:
+                        time.sleep(0.1)
                 else:
                     # not a gate-capable worker: discard the probe
                     # instance (never started) and rebuild after the
@@ -236,9 +265,9 @@ class PyCuSDR:
                         pass
                     t.join(timeout=5.0)
                 if new_t is not None:
-                    # old child is down: release the warmed replacement
+                    # old child is down; the replacement took over
+                    # during the overlap window above
                     self._replace_task(i, t, new_t)
-                    new_t.subscribeGate.set()
                 else:
                     new_t = self._task_factories[i]()
                     self._replace_task(i, t, new_t)
