@@ -73,7 +73,13 @@ def _twiddles(n: int, sign: float):
 #: bias +1: 741.1 / 772.1 / 392.1) — the apparent win was tunnel-window
 #: drift, and −1/+2 lose in both passes. The balanced √N split stays
 #: the default; the knob (env PYCUSDR_FOUR_STEP_N1_BIAS) remains for
-#: re-probing on other chips. The env var is sampled at every trace
+#: re-probing on other chips. Round-5 addendum: bias −1 (N1=128 at
+#: N=2^16) is a REAL ~8-17% win at B=1 (two interleaved windows, 0.832
+#: and 0.921 time ratios, probe_b1_routes_r5.py) but stays OFF: it
+#: loses at B=16/64, and a split-by-batch N1 choice would break the
+#: vmapped-vs-single bit identity the mixed per-block/batched streaming
+#: runtime depends on. Opt in for single-shape offline use only.
+#: The env var is sampled at every trace
 #: (i.e. inside _pick_n1, which only runs when a graph is traced), so a
 #: harness may set it after importing the package; the module global is
 #: the fallback for programmatic override.

@@ -445,6 +445,20 @@ def find_centres(P2: jnp.ndarray, spSym, codeOffset, *, Nfft: int, windowWidth: 
     B=64 on v5e, 490 -> 104 us/block; batched minor-axis gathers
     serialize on this backend).
 
+    The slot row read itself is the FLOOR SHAPE on this backend
+    (round-5 exhaustive probe, results/tmp/probe_slotread_r5.py /
+    probe_tiled_r5.py / probe_b1_routes_r5.py): plain narrow-row
+    ``jnp.take`` measures 16-38 us/block across batch shapes, while
+    every alternative loses — vmap(dynamic_slice) patch groups 3-14x
+    (batched dynamic slices serialize), tile-aligned fat-row takes
+    1.1-2.1x (512 B rows go bytes-bound in-graph), the HIGHEST-precision
+    one-hot matmul 1.44x at B=1, and the slot-pruned blockscan /
+    van Herk scans 2.7-3x at B=1 (W-step small-array scans serialize).
+    At B=1 the gather is serial-DMA row latency (~21 ns/row, ~99
+    us/block measured by the contiguous-prefix cost-model arm) — the
+    realizable lever for single-block latency is batching, not
+    rerouting this read.
+
     Tie-break: (offset, mask)-lexicographic first-win — the earliest
     window sample wins, then the lowest mask at that sample. The CUDA
     kernel iterates masks outer / samples inner (cuda_kernels.cu:126-139)

@@ -213,6 +213,9 @@ def test_rss_cap_planned_restart():
                 break
             time.sleep(0.3)
         assert restarted is not None, "no planned restart happened"
+        # make-before-break gives the replacement a suffixed workerId so
+        # its decoder stream stays distinct during the overlap window
+        assert restarted.workerId.endswith("~r1"), restarted.workerId
         # stop further restarts so the decode below can complete
         sdr._max_rss_mb = 10 ** 6
 
