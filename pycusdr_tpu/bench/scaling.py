@@ -81,8 +81,8 @@ def sharded_per_chip_msps(spec=None, n_channels=16, T=40, repeats=7,
     if spec is None:
         import __graft_entry__ as g
 
-        spec = (g.flagship_spec(mask_size=mask_size) if mask_size
-                else g.flagship_spec())
+        spec = (g.flagship_spec(mask_size=mask_size)
+                if mask_size is not None else g.flagship_spec())
 
     mesh = make_mesh({"channel": 1, "dopp": 1}, jax.devices()[:1])
     # force_generic: measure the channel x dopp tensor-split program
@@ -197,7 +197,8 @@ def main():
         print(json.dumps({"metric": "sharded_program_per_chip",
                           "n_channels": args.channels,
                           "program": "generic" if args.generic else "auto",
-                          "mask_size": args.mask_size or 3,
+                          "mask_size": (3 if args.mask_size is None
+                                        else args.mask_size),
                           "Msamples_per_s": round(msps, 1)}))
         return
     for row in run_scaling(tuple(args.devices)):

@@ -340,8 +340,11 @@ class Demodulator:
             # build_process_capture returns full[:, -ov:]), recomputed
             # host-side after the loop.
             Kd = 1 << (K - 1).bit_length()
-            hops = np.zeros((Kd, hop), np.complex64)
-            hops[:K] = padded[(pos) * hop : (pos + K) * hop].reshape(K, hop)
+            hops = padded[(pos) * hop : (pos + K) * hop].reshape(K, hop)
+            if Kd != K:  # zero-hop shape padding for the tail only
+                hp = np.zeros((Kd, hop), np.complex64)
+                hp[:K] = hops
+                hops = hp
             hops_ri = np.stack([self._c2ri(h) for h in hops])
             vec, carry = fn(hops_ri, carry)
             vec = np.asarray(vec)  # ONE transfer per dispatch

@@ -154,13 +154,22 @@ def _four_step(re, im, n: int, sign: float):
     return cr.reshape(batch + (n,)), ci.reshape(batch + (n,))
 
 
-@lru_cache(maxsize=None)
 def _four_step_block_consts(n: int, sign: float):
     """Block-real factor matrices for the one-matmul-per-stage four-step:
     stage 1 as [ar; ai] = W1B @ [xr; xi] with W1B = [[W1r, -W1i],
     [W1i, W1r]] (2n1, 2n1); stage 2 contracts the stacked last axis,
-    [cr; ci](k,m) = Σ_c W2B[c,k]·[br|bi](m,c) with W2B (2n2, 2n2)."""
-    n1, n2, (w1r, w1i), T, (w2r, w2i) = _four_step_consts(n, sign)
+    [cr; ci](k,m) = Σ_c W2B[c,k]·[br|bi](m,c) with W2B (2n2, 2n2).
+
+    The cache key must include the N1 split (it follows the trace-time
+    ``_pick_n1`` env knob): keying on (n, sign) alone would pin the
+    first-traced split forever and silently ignore a later bias change
+    on this route only."""
+    return _four_step_block_consts_n1(n, sign, _pick_n1(n))
+
+
+@lru_cache(maxsize=None)
+def _four_step_block_consts_n1(n: int, sign: float, n1_pick: int):
+    n1, n2, (w1r, w1i), T, (w2r, w2i) = _four_step_consts_n1(n, sign, n1_pick)
     f = np.float32
     W1B = np.block([[w1r, -w1i], [w1i, w1r]]).astype(f)
     W1RB = np.concatenate([w1r, w1i], axis=0).astype(f)  # real input

@@ -108,6 +108,21 @@ class Decoder(Process):
         decoders = {}
         dconf = self.conf.get("decoder", {})
         timeout = dconf.get("packetCheckHistTimeout", 0)
+        main_conf = self.conf.get("Main", {})
+        if main_conf.get("maxWorkerRssMb"):
+            # planned restarts decode the overlap window in BOTH the
+            # outgoing and replacement children (make-before-break);
+            # the duplicate copies arrive skewed by up to the overlap
+            # plus the replacement's catch-up, so a dedup window
+            # shorter than that forwards the same payload twice on
+            # every restart. Widen (never narrow) the configured value.
+            floor_s = float(main_conf.get("restartOverlapSeconds", 5.0)) + 3.0
+            if timeout < floor_s:
+                log.info(
+                    "RSS-cap restarts armed: widening packet dedup window "
+                    "%.1f s -> %.1f s (restart overlap + catch-up skew)",
+                    timeout, floor_s)
+                timeout = floor_s
         hashHist = PacketHist(
             maxLen=dconf.get("packetCheckHist", 40) if timeout else 0,
             timeout=timeout,
@@ -127,6 +142,11 @@ class Decoder(Process):
         signal.signal(signal.SIGTERM, lambda *_: None)
         log.info("Decoder process initialized and running")
         dataCont = {}
+        # superseded restart-generation streams pending eviction:
+        # workerId -> time first seen superseded (see below). Their
+        # VisualizerData is kept — it is a bounded ring and feeds the
+        # end-of-pass stats plots; only the frame-finder state is freed.
+        stale_workers = {}
         try:
             while self.runStatus.is_set():
                 socks = poller.poll(self.pollTimeout)
@@ -145,6 +165,27 @@ class Decoder(Process):
                             workerId, self.visualLogBufferSize,
                             showWarnings=self.showWarnings,
                         )
+                        # a planned restart suffixes the replacement's
+                        # workerId ("base~rN", orchestrator make-before-
+                        # break): superseded generations of the same
+                        # base stream go silent once the old child is
+                        # torn down — schedule their decoder + stats
+                        # state for eviction (after a grace period
+                        # covering the overlap window) or a multi-day
+                        # capped soak grows one frame-finder per restart
+                        base = workerId.split("~r")[0]
+                        for old in list(decoders):
+                            if old != workerId and old.split("~r")[0] == base:
+                                stale_workers.setdefault(old, time.time())
+                    elif workerId in stale_workers:
+                        stale_workers.pop(workerId)  # still talking
+                    now = time.time()
+                    for old, t_stale in list(stale_workers.items()):
+                        if now - t_stale > 60.0:
+                            log.info("Evicting superseded worker stream %s",
+                                     old)
+                            decoders.pop(old, None)
+                            stale_workers.pop(old, None)
 
                     rawBits = dataCont["data"]
                     t = time.time()

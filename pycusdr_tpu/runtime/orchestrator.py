@@ -126,7 +126,14 @@ class PyCuSDR:
                 if (self._restart_enabled
                         and self._restarts < self._max_restarts
                         and self._task_factories[i] is not None):
-                    with self._maint_lock:
+                    # non-blocking: the maintenance thread can hold the
+                    # lock across a make-before-break restart (warm wait
+                    # + overlap, tens of seconds) — a real-time poller
+                    # must not stall here; the dead task is retried on
+                    # the next poll once the lock frees
+                    if not self._maint_lock.acquire(blocking=False):
+                        continue
+                    try:
                         if self.tasks[i] is not t:
                             continue  # the maintenance thread already replaced it
                         self._restarts += 1
@@ -135,6 +142,8 @@ class PyCuSDR:
                         new_t = self._task_factories[i]()
                         self._replace_task(i, t, new_t)
                         new_t.start()
+                    finally:
+                        self._maint_lock.release()
                     continue
                 raise Exception(f"Process {t.name} died unexpectedly -- shutting down")
         self._check_rss_caps()
@@ -188,7 +197,6 @@ class PyCuSDR:
                     "worker's warm RSS", t.name, self._max_rss_mb)
                 self._max_rss_mb = 0
                 return
-            self._rss_restart_at[i] = time.time()
             log.warning("Process %s RSS %.0f MB exceeds cap %d MB -- "
                         "planned restart", t.name, rss_mb, self._max_rss_mb)
             self._maint_restarting.add(id(t))
@@ -217,28 +225,41 @@ class PyCuSDR:
                     new_t.start()
                     deadline2 = time.time() + 300.0
                     while (time.time() < deadline2 and self._running
+                           and new_t.is_alive()
                            and not new_t.warmedFlag.wait(0.5)):
                         pass
-                    if not new_t.warmedFlag.is_set():
+                    if not new_t.is_alive():
+                        # the replacement crashed during compile/warm
+                        # (OOM from double residency, backend error):
+                        # keep the healthy old child out of the swap
+                        # path and fall back to break-before-make below
+                        log.error("replacement %s died during warm-up -- "
+                                  "falling back to break-before-make",
+                                  new_t.name)
+                        new_t = None
+                    elif not new_t.warmedFlag.is_set():
                         log.error(
                             "replacement %s not warm yet -- swapping "
                             "anyway (it will subscribe when ready)",
                             new_t.name)
-                    # ZERO-GAP switchover: the sample feed is PUB/SUB,
-                    # so the replacement subscribes WHILE the old child
-                    # still decodes; both see every sample for the
-                    # overlap window (any burst in flight at either edge
-                    # is fully inside one child's stream), then the old
-                    # child is torn down. Duplicate decodes during the
-                    # overlap carry the suffixed workerId — a separate
-                    # decoder stream, deduplicated by the packet-hash
-                    # history when enabled (decoder.packetCheckHistTimeout).
-                    new_t.subscribeGate.set()
-                    overlap = float(self.configFile["Main"].get(
-                        "restartOverlapSeconds", 5.0))
-                    t_end = time.time() + overlap
-                    while time.time() < t_end and self._running:
-                        time.sleep(0.1)
+                    if new_t is not None:
+                        # ZERO-GAP switchover: the sample feed is
+                        # PUB/SUB, so the replacement subscribes WHILE
+                        # the old child still decodes; both see every
+                        # sample for the overlap window (any burst in
+                        # flight at either edge is fully inside one
+                        # child's stream), then the old child is torn
+                        # down. Duplicate decodes during the overlap
+                        # carry the suffixed workerId — a separate
+                        # decoder stream, deduplicated by the
+                        # packet-hash history
+                        # (decoder.packetCheckHistTimeout).
+                        new_t.subscribeGate.set()
+                        overlap = float(self.configFile["Main"].get(
+                            "restartOverlapSeconds", 5.0))
+                        t_end = time.time() + overlap
+                        while time.time() < t_end and self._running:
+                            time.sleep(0.1)
                 else:
                     # not a gate-capable worker: discard the probe
                     # instance (never started) and rebuild after the
@@ -273,6 +294,12 @@ class PyCuSDR:
                     self._replace_task(i, t, new_t)
                     new_t.start()
             finally:
+                # storm-guard stamp AFTER the restart completes: the
+                # make-before-break path can itself take longer than
+                # the 120 s guard window (cold compile + overlap), and
+                # a pre-restart stamp would let a baseline-above-cap
+                # loop evade the guard forever
+                self._rss_restart_at[i] = time.time()
                 self._maint_restarting.discard(id(t))
             return
 
