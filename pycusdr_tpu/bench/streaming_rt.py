@@ -68,10 +68,9 @@ def _build_conf(basePort, pipelineDepth, max_batch=None, max_rss_mb=0):
     if max_rss_mb:
         conf["Main"]["maxWorkerRssMb"] = max_rss_mb
         conf["Main"]["restartDeadProcesses"] = True
-        # make-before-break restarts decode the overlap window in BOTH
-        # children (distinct workerId streams): arm the decoder's
-        # cross-stream MD5 dedup so identical payloads forward once
-        conf["decoder"]["packetCheckHistTimeout"] = 5.0
+        # (no dedup override needed: whenever maxWorkerRssMb is set the
+        # decoder self-arms its cross-stream MD5 dedup window to
+        # restartOverlapSeconds + 3 — see runtime/decoder_process.py)
     return conf
 
 

@@ -121,6 +121,43 @@ class SoftCombiner(Process):
         self.workers.append(worker)
         self.workersSubmitted.append(worker)
 
+    def _purge_superseded(self):
+        """Drop dead planned-restart generations.
+
+        The orchestrator's make-before-break restart re-registers a
+        channel as ``base~rN``; the older generation of the same base
+        talks only through the short overlap window and is then dead
+        forever. Purge any worker whose base has a NEWER generation
+        registered once it has been silent past the data timeout (plus
+        margin), or a long capped soak grows one dead Worker per
+        restart and compareWorkers iterates (and the overlap window
+        double-weights) dead channels indefinitely."""
+        if len(self.workers) < 2:
+            return
+        latest = {}  # base -> newest generation index seen
+        def gen(wid):
+            base, _, suf = wid.partition("~r")
+            try:
+                return base, int(suf) if suf else 0
+            except ValueError:
+                return wid, 0
+        for w in self.workers:
+            base, g = gen(w.workerId)
+            latest[base] = max(latest.get(base, 0), g)
+        now = time.time()
+        silence = max(10.0, 2 * self.workerDataTimeout)
+        keep = []
+        for w in self.workers:
+            base, g = gen(w.workerId)
+            if g < latest[base] and now - w.lastArrival > silence:
+                log.info("purging superseded worker generation %s",
+                         w.workerId)
+                if w in self.workersSubmitted:
+                    self.workersSubmitted.remove(w)
+            else:
+                keep.append(w)
+        self.workers[:] = keep
+
     # ---------------- compare ----------------
 
     def _align_track(self, bitsM, bitsT, trustT):
@@ -384,6 +421,7 @@ class SoftCombiner(Process):
 
                 if time.monotonic() >= nextCompare and self.runStatus.is_set():
                     nextCompare = time.monotonic() + self.compareInterval
+                    self._purge_superseded()
                     self.compareWorkers()
 
                 if self.getWorkerStatsFlag.is_set():

@@ -326,39 +326,33 @@ class Demodulator:
 
         out = []
         carry = self._c2ri(self._signal_buffer[: self.sigOverlap])
+        # Dispatch in POWER-OF-TWO sub-chunks <= the caller's cap
+        # (advisor r4, corrected in round-5 review): a raw tail K would
+        # jit-compile a fresh graph for EVERY distinct capture-length
+        # remainder (each compile is tens of seconds on the tunnel
+        # backend, and the per-shape executable cache grows RSS), while
+        # zero-hop SHAPE PADDING mid-capture would corrupt the device
+        # carry chain (the carry after a padded dispatch reflects the
+        # padding, not the real previous samples). Decomposing every
+        # remainder into power-of-two dispatches bounds the compiled
+        # shape set to {1, 2, 4, ..., P} with NO padding: the device
+        # carry chain stays exact end to end and no dispatch ever
+        # exceeds the caller's memory cap.
+        P = 1 << (max(1, int(max_hops_per_dispatch)).bit_length() - 1)
         pos = 0
         while pos < K_total:
-            K = min(max_hops_per_dispatch, K_total - pos)
-            # Quantize the dispatch width to the next power of two
-            # (advisor r4): a raw tail K would jit-compile a fresh graph
-            # for EVERY distinct capture-length remainder (each compile
-            # is tens of seconds on the tunnel backend, and the per-shape
-            # executable cache grows RSS). Padding with zero hops bounds
-            # the compiled-shape set to {1,2,4,...,max_hops_per_dispatch}
-            # and is exact: the padded rows are dropped below, and the
-            # capture carry is pure input data (dsp.block.
-            # build_process_capture returns full[:, -ov:]), recomputed
-            # host-side after the loop.
-            Kd = 1 << (K - 1).bit_length()
+            rem = K_total - pos
+            K = P if rem >= P else 1 << (rem.bit_length() - 1)
             hops = padded[(pos) * hop : (pos + K) * hop].reshape(K, hop)
-            if Kd != K:  # zero-hop shape padding for the tail only
-                hp = np.zeros((Kd, hop), np.complex64)
-                hp[:K] = hops
-                hops = hp
             hops_ri = np.stack([self._c2ri(h) for h in hops])
             vec, carry = fn(hops_ri, carry)
             vec = np.asarray(vec)  # ONE transfer per dispatch
             out.extend(self._emit_packed_row(vec[i]) for i in range(K))
             pos += K
-        # leave the overlap-save history where live streaming expects
-        # it: the overlap-save carry is the last sigOverlap RAW samples
-        # of (previous history ++ capture-padded-to-whole-hops) — the
-        # device carry after a zero-padded tail dispatch would instead
-        # reflect the shape-padding hops, so compute it from the input
-        stream_tail = np.concatenate(
-            [self._signal_buffer[: self.sigOverlap], padded]
-        )[-self.sigOverlap:]
-        self._signal_buffer[: self.sigOverlap] = stream_tail
+        # leave the overlap-save history where live streaming expects it
+        tail = np.asarray(carry)
+        self._signal_buffer[: self.sigOverlap] = (
+            tail[0] + 1j * tail[1]).astype(np.complex64)
         return out
 
     # ---------------- block-boundary healing ----------------

@@ -178,7 +178,13 @@ class Decoder(Process):
                             if old != workerId and old.split("~r")[0] == base:
                                 stale_workers.setdefault(old, time.time())
                     elif workerId in stale_workers:
-                        stale_workers.pop(workerId)  # still talking
+                        # the outgoing child keeps decoding through the
+                        # restart overlap — REFRESH its silence clock
+                        # (popping here would permanently defeat the
+                        # eviction, since it always talks after being
+                        # marked); eviction then fires 60 s after its
+                        # LAST message
+                        stale_workers[workerId] = time.time()
                     now = time.time()
                     for old, t_stale in list(stale_workers.items()):
                         if now - t_stale > 60.0:

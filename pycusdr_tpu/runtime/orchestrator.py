@@ -209,10 +209,11 @@ class PyCuSDR:
                 # shrinks from the compile window (~17-77 s) to the
                 # socket switchover (~1-2 s).
                 new_t = None
-                probe = self._task_factories[i]()
-                if (hasattr(probe, "warmedFlag")
-                        and hasattr(probe, "subscribeGate")):
-                    new_t = probe
+                # gate capability is a class property: probe the task
+                # being replaced instead of building (and discarding) a
+                # throwaway factory instance for gate-less workers
+                if hasattr(t, "warmedFlag") and hasattr(t, "subscribeGate"):
+                    new_t = self._task_factories[i]()
                     # distinguishable stream identity: the decoder keys
                     # its frame-finder continuation state AND duplicate
                     # suppression by workerId, so the overlap window
@@ -260,11 +261,9 @@ class PyCuSDR:
                         t_end = time.time() + overlap
                         while time.time() < t_end and self._running:
                             time.sleep(0.1)
-                else:
-                    # not a gate-capable worker: discard the probe
-                    # instance (never started) and rebuild after the
-                    # old one is down (break-before-make)
-                    del probe
+                # gate-less workers (decoder, combiner, ...) take the
+                # break-before-make path below: teardown first, then
+                # one factory build
                 t.stop()
                 deadline = time.time() + 5.0
                 while t.is_alive() and time.time() < deadline:

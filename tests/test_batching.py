@@ -341,7 +341,8 @@ def test_process_capture_matches_streaming(bench_conf):
         seqA.append(dA.process(rawA))
         rawA[:ov] = rawA[-ov:]
 
-    # B: one capture call, chunked across two dispatches
+    # B: one capture call, chunked across multiple dispatches (the K=7
+    # tail exercises the power-of-two decomposition: 4 + 2 + 1)
     seqB = dB.processCapture(sig, max_hops_per_dispatch=4)
     assert len(seqB) == K
     for i, (a, b) in enumerate(zip(seqA, seqB)):
@@ -352,4 +353,18 @@ def test_process_capture_matches_streaming(bench_conf):
     # overlap-save history left in place for a live resume
     np.testing.assert_allclose(
         dB.get_signalBufferHostPointer()[:ov],
+        dA.get_signalBufferHostPointer()[:ov], rtol=1e-6, atol=1e-7)
+
+    # NON-power-of-two dispatch cap (round-5 review regression: a
+    # mid-capture zero-padded dispatch corrupted the device carry
+    # chain): cap 3 floors to pow2 2, so mid-capture dispatches are
+    # exact slices and the carry chain must stay bit-correct
+    dC = UHF.Demodulator(bench_conf, protocol, "UHF-H")
+    seqC = dC.processCapture(sig, max_hops_per_dispatch=3)
+    assert len(seqC) == K
+    for i, (a, c) in enumerate(zip(seqA, seqC)):
+        np.testing.assert_array_equal(a["bits"], c["bits"],
+                                      err_msg=f"capture block {i} bits (cap 3)")
+    np.testing.assert_allclose(
+        dC.get_signalBufferHostPointer()[:ov],
         dA.get_signalBufferHostPointer()[:ov], rtol=1e-6, atol=1e-7)
