@@ -340,15 +340,30 @@ class Demodulator:
         # exceeds the caller's memory cap.
         P = 1 << (max(1, int(max_hops_per_dispatch)).bit_length() - 1)
         pos = 0
+        pending = None  # (device results, row count) of the previous dispatch
         while pos < K_total:
             rem = K_total - pos
             K = P if rem >= P else 1 << (rem.bit_length() - 1)
             hops = padded[(pos) * hop : (pos + K) * hop].reshape(K, hop)
             hops_ri = np.stack([self._c2ri(h) for h in hops])
+            # depth-1 software pipeline: dispatch chunk k+1 BEFORE
+            # fetching chunk k's results. The overlap-save carry chains
+            # DEVICE-SIDE (fn's returned carry feeds the next dispatch
+            # without a host sync), so chunk k+1's host->device upload
+            # (~33 MB at the flagship shape — the whole-capture path's
+            # bottleneck on a remote-tunnel backend) and its execution
+            # overlap chunk k's result fetch. Emission order (and the
+            # sequential host-side healer) is unchanged.
             vec, carry = fn(hops_ri, carry)
-            vec = np.asarray(vec)  # ONE transfer per dispatch
-            out.extend(self._emit_packed_row(vec[i]) for i in range(K))
+            if pending is not None:
+                pv, pk = pending
+                pv = np.asarray(pv)  # ONE transfer per dispatch
+                out.extend(self._emit_packed_row(pv[i]) for i in range(pk))
+            pending = (vec, K)
             pos += K
+        pv, pk = pending
+        pv = np.asarray(pv)
+        out.extend(self._emit_packed_row(pv[i]) for i in range(pk))
         # leave the overlap-save history where live streaming expects it
         tail = np.asarray(carry)
         self._signal_buffer[: self.sigOverlap] = (
